@@ -1,0 +1,62 @@
+"""The BASELINE parity suite: Spark engine rollups (native closed form AND
+Arrow exact-replay) vs the pandas oracle, at every retention tier —
+values compared after the reference's round(5)
+(reference harmonizers/__init__.py:233)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import oracle
+from timeseries_harmonizer_spark.config import TIERS
+from timeseries_harmonizer_spark.plans import pipeline
+
+
+@pytest.fixture(scope="module")
+def inputs_pdf(pages, reg):
+    return pages.toPandas(), reg.toPandas()
+
+
+def _compare(got: pd.DataFrame, expected: pd.DataFrame, tol=2e-5):
+    got = got.sort_values(["url", "start"]).reset_index(drop=True)
+    expected = expected.sort_values(["url", "start"]).reset_index(drop=True)
+    assert len(got) == len(expected), (len(got), len(expected))
+    assert (got["url"].to_numpy() == expected["url"].to_numpy()).all()
+    assert (
+        pd.DatetimeIndex(got["start"]) == pd.DatetimeIndex(expected["start"])
+    ).all()
+    g = got["value"].to_numpy(dtype="float64")
+    e = expected["value"].to_numpy(dtype="float64")
+    both_nan = np.isnan(g) & np.isnan(e)
+    diff = np.abs(g - e)
+    bad = ~(both_nan | (diff <= tol))
+    assert not bad.any(), got[bad].head(10).to_string() + "\n---\n" + expected[bad].head(10).to_string()
+
+
+@pytest.mark.parametrize("tier_name", ["1m", "1h", "1d"])
+def test_native_rollup_matches_oracle(spark, pages, reg, inputs_pdf, tier_name):
+    tier = TIERS[tier_name]
+    prepared = pipeline.prepare(pages, reg, tier)
+    pts = pipeline.rollup_points(prepared, tier, exact=False)
+    got = (
+        pts.select("url", "start", F.round("value", 5).alias("value"))
+        .toPandas()
+    )
+    pages_pdf, reg_pdf = inputs_pdf
+    expected = oracle.harmonize_pages(
+        pages_pdf, reg_pdf, tier.seconds, tier.gap_seconds
+    )
+    _compare(got, expected)
+
+
+def test_exact_replay_matches_oracle(spark, pages, reg, inputs_pdf):
+    """The Arrow replay path is float-identical to the oracle (same kernels,
+    distributed execution)."""
+    tier = TIERS["1h"]
+    prepared = pipeline.prepare(pages, reg, tier)
+    pts = pipeline.rollup_points(prepared, tier, exact=True)
+    got = pts.select("url", "start", F.round("value", 5).alias("value")).toPandas()
+    pages_pdf, reg_pdf = inputs_pdf
+    expected = oracle.harmonize_pages(pages_pdf, reg_pdf, tier.seconds, tier.gap_seconds)
+    _compare(got, expected, tol=0.0)

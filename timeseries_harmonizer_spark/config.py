@@ -1,0 +1,82 @@
+"""Retention-tier configuration.
+
+Analog of the reference's ``FREQ_CONFIG`` (reference launcher_v2.py:22-28):
+each tier binds a window width, a lookback window re-read on every run
+(the effective watermark), an overlap trimmed from the head of each run's
+output (reference harmonizers/__init__.py:387-388), a session gap threshold
+(7200 s for fine tiers, None for coarse — reference launcher_v2.py:23-27),
+and a retention horizon after which the tier's fine payloads are swept into
+the next-coarser tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import timedelta
+
+
+@dataclass(frozen=True)
+class TierConfig:
+    name: str                 # "1m" | "1h" | "1d"
+    seconds: int              # tumbling window width
+    lookback: timedelta       # days_to_gather analog: window re-read per run
+    overlap: timedelta        # head trim of each run's output (D4)
+    gap_seconds: int | None   # session split threshold (R5); None = no split
+    retention: timedelta | None  # sweep horizon; None = keep forever
+    coarser: str | None       # tier this one downsamples into on expiry
+
+    @property
+    def interval(self) -> str:
+        return f"{self.seconds} seconds"
+
+
+TIERS: dict[str, TierConfig] = {
+    "1m": TierConfig(
+        name="1m",
+        seconds=60,
+        lookback=timedelta(days=2),
+        overlap=timedelta(hours=1),
+        gap_seconds=7200,
+        retention=timedelta(days=7),
+        coarser="1h",
+    ),
+    "1h": TierConfig(
+        name="1h",
+        seconds=3600,
+        lookback=timedelta(days=7),
+        overlap=timedelta(days=1),
+        gap_seconds=7200,
+        retention=timedelta(days=60),
+        coarser="1d",
+    ),
+    "1d": TierConfig(
+        name="1d",
+        seconds=86400,
+        lookback=timedelta(days=60),
+        overlap=timedelta(days=2),
+        gap_seconds=None,
+        retention=None,
+        coarser=None,
+    ),
+}
+
+# Aggregation functions a series can declare (reference
+# lib2/calculate_formulas.py:43-47 maps aggregationFunction -> {SUM: sum,
+# AVG: mean, LAST: last}).
+AGG_FUNCS = ("SUM", "AVG", "LAST")
+
+# Number of hash buckets for explicit bucket repartitioning (the storage
+# analog is the reference's bucket = (ts // TS_BUCKETS) % BUCKETS,
+# lib/__init__.py:140).
+N_BUCKETS = 64
+
+# Hot-key salting: series whose row count exceeds this threshold within a
+# run are split into SALT_K sub-groups for partial aggregation (§4 of
+# SURVEY.md — the reference has no skew handling; a huge device just made
+# one pod slow).
+HOT_KEY_THRESHOLD = 250_000
+SALT_K = 16
+
+# Values are rounded to 5 decimals before emit (reference
+# harmonizers/__init__.py:233).
+VALUE_ROUND = 5

