@@ -124,8 +124,11 @@ def incremental_only_clean(
     (reference lib2/clean_outliers.py:68-73)."""
     w = _series_window(key, ts_col).rowsBetween(W.unboundedPreceding, 0)
     cummax = F.max(value).over(w)
-    is_error = F.col(value) < cummax
-    return df.where(~F.coalesce(is_error, F.lit(False)))
+    return (
+        df.withColumn("__err", F.coalesce(F.col(value) < cummax, F.lit(False)))
+        .where(~F.col("__err"))
+        .drop("__err")
+    )
 
 
 def night_consumption_clean(
