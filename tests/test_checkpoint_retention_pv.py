@@ -1,0 +1,125 @@
+"""Checkpoint resume, retention sweep, PV repair."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from timeseries_harmonizer_spark.functions import series_kernels as K
+from timeseries_harmonizer_spark.operators.postprocess import pv_postprocess
+from timeseries_harmonizer_spark.operators.retention import sweep_tier
+from timeseries_harmonizer_spark.plans.checkpoint import Manifest, StageRunner
+
+
+def test_manifest_resume(tmp_path):
+    m = Manifest(str(tmp_path / "manifest.json"))
+    calls = []
+    r = StageRunner(m, "run1", "1h")
+    r.run("points", lambda: (calls.append("a"), 1)[1])
+    r.run("points", lambda: (calls.append("b"), 2)[1])  # skipped
+    assert calls == ["a"]
+    assert m.is_done("run1", "points", "1h")
+    assert not m.is_done("run2", "points", "1h")
+    r2 = StageRunner(m, "run1", "1h")  # "restart": fresh runner, same file
+    r2.run("points", lambda: (calls.append("c"), 3)[1])
+    r2.run("payloads", lambda: (calls.append("d"), 4)[1])
+    assert calls == ["a", "d"]
+    recs = m.records()
+    assert [x.stage for x in recs] == ["points", "payloads"]
+    assert recs[0].snapshot_id == 1
+
+
+def test_run_tier_job_resumes(tmp_path):
+    """Kill-between-stages simulation through the spark-submit entry."""
+    from jobs.run_tier import main
+
+    wh = str(tmp_path / "wh")
+    args = ["--tier", "1h", "--warehouse", wh, "--run-id", "r1",
+            "--n-urls", "6", "--points-per-url", "40", "--master", "local[2]"]
+    main(args)
+    m = Manifest(wh + "/_manifest.json")
+    recs1 = {x.stage for x in m.records()}
+    assert recs1 == {"points", "payloads", "compress", "sweep"}
+    # re-run same run-id: all stages skip -> no new snapshots
+    import json, os
+    snaps_before = open(os.path.join(wh, "points_1h", "_snapshots.json")).read()
+    main(args)
+    snaps_after = open(os.path.join(wh, "points_1h", "_snapshots.json")).read()
+    assert snaps_before == snaps_after
+    assert len(m.records()) == 4
+
+
+def test_sweep_downsamples_expired(spark):
+    # 1m-tier points spanning 10 days; retention 7d -> first ~3d downsampled to 1h
+    idx = pd.date_range("2024-01-01", periods=10 * 1440, freq="1min")
+    pdf = pd.DataFrame({
+        "url": "u1",
+        "start": idx,
+        "value": np.ones(len(idx)),
+        "agg_func": "SUM",
+    })
+    pts = spark.createDataFrame(pdf)
+    now = idx[-1]
+    coarse, retained = sweep_tier(pts, "1m", now)
+    c = coarse.orderBy("start").toPandas()
+    r = retained.toPandas()
+    cutoff = now - pd.Timedelta(days=7)
+    assert (pd.DatetimeIndex(r["start"]) >= cutoff).all()
+    # every expired minute lands in exactly one coarse sum (value=1 each)
+    assert c["value"].sum() == len(pdf) - len(r)
+    assert (c["value"].iloc[:-1] == 60.0).all()  # all full windows sum 60
+    assert (c["tier"] == "1h").all()
+
+
+def test_sweep_idempotent(spark):
+    idx = pd.date_range("2024-01-01", periods=2 * 1440, freq="1min")
+    pdf = pd.DataFrame({"url": "u", "start": idx, "value": np.arange(len(idx), dtype="float64"), "agg_func": "AVG"})
+    pts = spark.createDataFrame(pdf)
+    now = idx[-1] + pd.Timedelta(days=7)
+    c1, _ = sweep_tier(pts, "1m", now)
+    c2, _ = sweep_tier(pts, "1m", now)
+    a = c1.orderBy("start").toPandas()
+    b = c2.orderBy("start").toPandas()
+    assert a.equals(b)
+
+
+def test_pv_kernel_redistributes():
+    idx = pd.date_range("2024-01-01", periods=7, freq="1h")
+    gen = pd.Series([10.0, 10, 10, 10, 10, 10, 10], index=idx)
+    exp = pd.Series([5.0, 5, 5, 25, 5, 5, 5], index=idx)  # over-export @3 by 15
+    update, rep = K.pv_energy_balance(gen, exp)
+    assert update
+    # total exported preserved (redistribution, not loss)
+    assert np.isclose(rep.sum(), exp.sum())
+    assert rep.iloc[3] == 10.0  # capped at gen
+    assert (rep <= gen + 1e-9).all()
+
+
+def test_pv_kernel_rollback_nulls():
+    idx = pd.date_range("2024-01-01", periods=3, freq="1h")
+    gen = pd.Series([1.0, 1.0, 1.0], index=idx)
+    exp = pd.Series([1.0, 100.0, 1.0], index=idx)  # excess can't be absorbed
+    update, rep = K.pv_energy_balance(gen, exp)
+    assert update
+    assert np.isnan(rep.iloc[1])
+    # rollback restored neighbors
+    assert rep.iloc[0] == 1.0 and rep.iloc[2] == 1.0
+
+
+def test_pv_spark_stage(spark):
+    idx = pd.date_range("2024-01-01", periods=6, freq="1h")
+    gen = pd.DataFrame({"system": "s1", "start": idx, "value": [10.0] * 6})
+    exp = pd.DataFrame({"system": "s1", "start": idx, "value": [5.0, 5, 20, 5, 5, 5]})
+    # second system needs no repair -> omitted
+    gen2 = gen.assign(system="s2")
+    exp2 = exp.assign(system="s2", value=[1.0] * 6)
+    out = pv_postprocess(
+        spark.createDataFrame(pd.concat([gen, gen2])),
+        spark.createDataFrame(pd.concat([exp, exp2])),
+    ).toPandas()
+    assert set(out["system"]) == {"s1"}
+    g = pd.Series([10.0] * 6).to_numpy()
+    got = out.sort_values("start")["value"].to_numpy()
+    eu, er = K.pv_energy_balance(
+        pd.Series([10.0] * 6, index=idx), pd.Series([5.0, 5, 20, 5, 5, 5], index=idx)
+    )
+    assert np.allclose(got, er.to_numpy(), equal_nan=True)

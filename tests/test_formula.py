@@ -1,0 +1,189 @@
+"""Formula engine F1-F9: precedence, parens, constants, CLIP/ABS/HE,
+cross-freq alignment, dependency levels, compliance limits (FIXTURES.md §D)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_harmonizer_spark.plans.formula import (
+    FormulaEngine,
+    SeriesRef,
+    harmonize_limits,
+    order_by_dependencies,
+)
+
+T0 = pd.Timestamp("2024-01-01 00:00:00")
+H = 3600
+
+
+def _series(spark, values, freq_s=H, start=T0):
+    idx = pd.date_range(start, periods=len(values), freq=pd.Timedelta(seconds=freq_s))
+    pdf = pd.DataFrame({"start": idx, "value": np.array(values, dtype="float64")})
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    a = _series(spark, [1, 2, 3, 4, 5, 6])
+    b = _series(spark, [10, 20, 30, 40, 50, 60])
+    daily = _series(spark, [240.0], freq_s=86400)  # one day covering the range
+    fine = _series(spark, [1, 1, 2, 2, 3, 3] * 12, freq_s=300)  # 5-min series
+    return FormulaEngine(
+        spark,
+        series={
+            "A": SeriesRef(a, H, "AVG"),
+            "B": SeriesRef(b, H, "AVG"),
+            "SUMD": SeriesRef(daily, 86400, "SUM"),
+            "FINE_SUM": SeriesRef(fine, 300, "SUM"),
+            "FINE_AVG": SeriesRef(fine, 300, "AVG"),
+        },
+        scalar_queries={"q1": 7.0},
+    )
+
+
+def _vals(df):
+    return df.orderBy("start").toPandas()["value"].to_numpy()
+
+
+def test_precedence(engine):
+    # A + B * 2  ->  mul before add
+    xml = "<mh>A</mh><mo>+</mo><mh>B</mh><mo>*</mo><mv>2</mv>"
+    got = _vals(engine.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+    exp = np.array([1, 2, 3, 4, 5, 6]) + np.array([10, 20, 30, 40, 50, 60]) * 2
+    assert np.allclose(got, exp)
+
+
+def test_parentheses(engine):
+    # (A + B) * 2 via mbr
+    xml = "<mbr><mh>A</mh><mo>+</mo><mh>B</mh></mbr><mo>*</mo><mv>2</mv>"
+    got = _vals(engine.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+    exp = (np.array([1, 2, 3, 4, 5, 6]) + np.array([10, 20, 30, 40, 50, 60])) * 2
+    assert np.allclose(got, exp)
+
+
+def test_left_assoc_division(engine):
+    # B / A / 2 evaluated left to right
+    xml = "<mh>B</mh><mo>/</mo><mh>A</mh><mo>/</mo><mv>2</mv>"
+    got = _vals(engine.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+    exp = np.array([10, 20, 30, 40, 50, 60]) / np.array([1, 2, 3, 4, 5, 6]) / 2
+    assert np.allclose(got, exp)
+
+
+def test_constants_and_scalar_query(engine):
+    xml = "<mh>A</mh><mo>*</mo><mc>HOUSE_FACTOR</mc><mo>+</mo><mq>q1</mq>"
+    got = _vals(engine.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+    exp = np.array([1, 2, 3, 4, 5, 6]) * 8.76 + 7.0
+    assert np.allclose(got, exp)
+
+
+def test_abs_and_clip(engine):
+    xml = (
+        "<fun><fop>CLIP</fop>"
+        "<fpar><mv>2</mv></fpar><fpar><mv>4</mv></fpar>"
+        "<fpar><fun><fop>ABS</fop><fpar><mh>A</mh><mo>-</mo><mv>10</mv></fpar></fun></fpar>"
+        "</fun>"
+    )
+    got = _vals(engine.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+    exp = np.clip(np.abs(np.array([1, 2, 3, 4, 5, 6]) - 10), 2, 4)
+    assert np.allclose(got, exp)
+
+
+def test_he_hysteresis(engine, spark):
+    # parent crosses the [summer_max=3, winter_min=4] band: carry in between
+    eng = FormulaEngine(
+        spark,
+        series={
+            "P": SeriesRef(_series(spark, [1, 3.5, 5, 3.5, 2, 3.5]), H, "AVG"),
+            "S": SeriesRef(_series(spark, [3] * 6), H, "AVG"),
+            "W": SeriesRef(_series(spark, [4] * 6), H, "AVG"),
+        },
+        he_warmup_days=0,
+    )
+    xml = (
+        "<fun><fop>HE</fop><fpar><mh>S</mh></fpar><fpar><mh>W</mh></fpar>"
+        "<fpar><mh>P</mh></fpar></fun>"
+    )
+    got = _vals(eng.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+    # 1<3 -> 1; 3.5 in band -> carry 1; 5>4 -> 0; 3.5 -> carry 0; 2<3 -> 1; 3.5 -> carry 1
+    assert np.allclose(got, [1, 1, 0, 0, 1, 1])
+
+
+def test_downsample_alignment(engine):
+    # FINE_SUM (5-min, SUM) referenced at 1h -> sums of 12 slots
+    xml = "<mh>FINE_SUM</mh>"
+    got = _vals(engine.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+    fine = np.array([1, 1, 2, 2, 3, 3] * 12, dtype="float64")
+    exp = fine.reshape(6, 12).sum(axis=1)
+    assert np.allclose(got, exp)
+
+
+def test_upsample_sum_split(engine):
+    # SUMD (daily SUM of 240) at 1h over a 6-hour query: the reference
+    # divides by the number of *queried* grid slots the source point covers
+    # (reference lib2/calculate_formulas.py:187-190), i.e. 240/6, not 240/24.
+    xml = "<mh>SUMD</mh>"
+    got = _vals(engine.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+    assert np.allclose(got, [40.0] * 6)
+
+
+def test_upsample_sum_split_full_span(engine, spark):
+    # over the full covered day, each hourly slot gets 240/24
+    xml = "<mh>SUMD</mh>"
+    got = _vals(engine.evaluate(xml, T0, T0 + pd.Timedelta(hours=23), H))
+    assert np.allclose(got, [10.0] * 24)
+
+
+def test_missing_rows_propagate_null(engine, spark):
+    sparse = _series(spark, [1.0, 2.0])  # only 2 of 6 grid hours
+    eng = FormulaEngine(
+        spark, series={"S": SeriesRef(sparse, H, "AVG"), "B": engine.series["B"]}
+    )
+    xml = "<mh>S</mh><mo>+</mo><mh>B</mh>"
+    out = eng.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H).orderBy("start").toPandas()
+    assert out["value"].notna().sum() == 2
+    assert len(out) == 6
+
+
+def test_order_by_dependencies():
+    formulas = {
+        "X": "<mh>A</mh><mo>+</mo><mh>B</mh>",
+        "Y": "<mh>X</mh><mo>*</mo><mv>2</mv>",
+        "Z": "<mh>Y</mh><mo>-</mo><mh>X</mh>",
+        "W": "<mv>5</mv>",
+    }
+    levels = order_by_dependencies(formulas)
+    assert levels == [["W", "X"], ["Y"], ["Z"]]
+
+
+def test_harmonize_limits(engine, spark):
+    measurement = _series(spark, [1, 5, 10, 15, 20, 25])
+    got = harmonize_limits(
+        engine,
+        measurement,
+        lower_activation_xml="<mv>1</mv>",
+        lower_formula_xml="<mv>4</mv>",
+        upper_activation_xml="<mv>1</mv>",
+        upper_formula_xml="<mv>16</mv>",
+        ts_ini=T0,
+        ts_end=T0 + pd.Timedelta(hours=5),
+        freq=H,
+    )
+    out = got.orderBy("start").toPandas()["value"].to_numpy()
+    assert np.allclose(out, [0, 1, 1, 1, 0, 0])
+
+
+def test_limits_activation_zero_drops(engine, spark):
+    measurement = _series(spark, [1, 5, 10, 15, 20, 25])
+    got = harmonize_limits(
+        engine,
+        measurement,
+        lower_activation_xml="<mv>0</mv>",  # never active -> empty result
+        lower_formula_xml="<mv>4</mv>",
+        upper_activation_xml="<mv>1</mv>",
+        upper_formula_xml="<mv>16</mv>",
+        ts_ini=T0,
+        ts_end=T0 + pd.Timedelta(hours=5),
+        freq=H,
+    )
+    assert got.count() == 0

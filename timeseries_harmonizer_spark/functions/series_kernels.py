@@ -292,3 +292,58 @@ def complete_missing_points(
     freq = pd.Timedelta(seconds=freq_seconds)
     grid = pd.date_range(ts_ini.floor(freq), ts_end.floor(freq), freq=freq)
     return series.reindex(grid)
+
+
+# ---------------------------------------------------------------------------
+# K1 — PV energy-balance repair (reference post_process/pv_postprocess.py:26-68)
+# ---------------------------------------------------------------------------
+
+def pv_energy_balance(gen: pd.Series, exp: pd.Series) -> tuple[bool, pd.Series]:
+    """Repair exported-energy series against generation: where exp > gen,
+    cap exp at gen and redistribute the excess to neighbor rows at offsets
+    +1,-1,...,+5,-5 (each bounded by that row's spare capacity gen-exp; a
+    neighbor already over-exporting is itself capped and its excess absorbed
+    into the outstanding amount). If the excess is not absorbable within 5
+    offsets, roll the column back and null the point. Inherently sequential
+    -> runs per (system, chunk) inside applyInPandas.
+
+    Returns (any_repair_done, repaired_exp).
+    """
+    if gen.empty or exp.empty:
+        return False, None
+    g = gen.astype(float).round(5).to_numpy()
+    e = exp.astype(float).round(5).to_numpy().copy()
+    n = len(e)
+    problem = np.nonzero((g - e) < 0)[0]
+    update = False
+    for i in problem:
+        rollback = e.copy()
+        update = True
+        over = e[i] - g[i]
+        if over <= 0:
+            continue
+        e[i] = g[i]
+        ind = 0
+        cands: list[int] = []
+        while over > 0:
+            if not cands and ind < 5:
+                ind += 1
+                # try +ind first, then -ind (reference pops positive first)
+                if i - ind > 0:
+                    cands.append(-ind)
+                if i + ind < n:
+                    cands.append(ind)
+            if not cands:
+                e = rollback
+                e[i] = np.nan
+                break
+            j = i + cands.pop()
+            cap = g[j] - e[j]
+            if cap > 0:
+                moved = min(over, cap)
+                e[j] += moved
+                over -= moved
+            else:
+                e[j] = g[j]
+                over += -cap
+    return update, pd.Series(e, index=exp.index)

@@ -1,0 +1,59 @@
+"""K1/K2 — PV energy-balance post-processor as a Spark stage.
+
+The repair loop is inherently sequential per system (neighbor
+redistribution with rollback — reference post_process/pv_postprocess.py:26-68),
+so it runs per (system, chunk) in Arrow-batched applyInPandas; everything
+around it (gen/exp alignment, dense completion) is native DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from timeseries_harmonizer_spark.functions import series_kernels as K
+from timeseries_harmonizer_spark.operators.rollup import dense_reindex
+
+
+def pv_postprocess(
+    gen: DataFrame,
+    exp: DataFrame,
+    key: str = "system",
+    start_col: str = "start",
+    value: str = "value",
+    freq_seconds: int = 3600,
+    ts_ini=None,
+    ts_end=None,
+) -> DataFrame:
+    """Repair exported-energy points against generation per system; returns
+    the repaired exported series densely reindexed over [ts_ini, ts_end]
+    (K2, reference pv_postprocess.py:70-103). Systems needing no repair are
+    omitted, matching the reference's update-only emission."""
+    g = gen.select(F.col(key).alias("__k"), F.col(start_col).alias("__t"), F.col(value).alias("__gen"))
+    e = exp.select(F.col(key).alias("__k"), F.col(start_col).alias("__t"), F.col(value).alias("__exp"))
+    joined = g.join(e, ["__k", "__t"], "outer")
+
+    schema = f"__k string, __t timestamp, {value} double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__t")
+        gen_s = pd.Series(pdf["__gen"].to_numpy(), index=pd.DatetimeIndex(pdf["__t"]))
+        exp_s = pd.Series(pdf["__exp"].to_numpy(), index=pd.DatetimeIndex(pdf["__t"]))
+        update, repaired = K.pv_energy_balance(gen_s, exp_s)
+        if not update:
+            return pd.DataFrame(columns=["__k", "__t", value])
+        out = repaired.reset_index()
+        out.columns = ["__t", value]
+        out["__k"] = pdf["__k"].iloc[0]
+        return out[["__k", "__t", value]]
+
+    repaired = joined.groupBy("__k").applyInPandas(fn, schema)
+    out = repaired.select(
+        F.col("__k").alias(key), F.col("__t").alias(start_col), F.col(value)
+    )
+    if ts_ini is not None and ts_end is not None:
+        out = dense_reindex(
+            out, key=key, start_col=start_col, value=value,
+            freq_seconds=freq_seconds, ts_ini=ts_ini, ts_end=ts_end,
+        )
+    return out

@@ -1,0 +1,66 @@
+"""Retention sweep — O6/S10 analog (SURVEY.md §2.9).
+
+Downsamples fine-tier points past their retention horizon into the
+next-coarser tier (R6 with the series' aggregation function), appends the
+coarse points (reads dedup by last-write-wins), and rewrites the fine tier
+without the expired range (the tombstone/delete sink S10, reference
+tools/remove_influx_data.py:10-21). Idempotent: re-running the sweep over
+the same horizon produces the same coarse rows and the same trimmed fine
+table, mirroring the reference's overlap-rerun design
+(harmonizers/__init__.py:387-388; launcher.py:40-44).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from timeseries_harmonizer_spark.config import TIERS, TierConfig
+from timeseries_harmonizer_spark.operators.rollup import downsample
+
+
+def split_expired(
+    points: DataFrame, tier: TierConfig, now: pd.Timestamp
+) -> tuple[DataFrame, DataFrame]:
+    """(expired, retained) by the tier's retention horizon."""
+    if tier.retention is None:
+        return points.where(F.lit(False)), points
+    cutoff = (pd.Timestamp(now) - tier.retention).to_pydatetime()
+    expired = points.where(F.col("start") < F.lit(cutoff).cast("timestamp"))
+    retained = points.where(F.col("start") >= F.lit(cutoff).cast("timestamp"))
+    return expired, retained
+
+
+def sweep_tier(
+    points: DataFrame,
+    tier_name: str,
+    now,
+    registry: DataFrame | None = None,
+    key: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (coarse_points, retained_fine_points) for one tier.
+
+    ``points``: (key, start, value, agg_func?) rows of the fine tier.
+    If ``registry`` given, agg funcs come from a broadcast join on key.
+    """
+    tier = TIERS[tier_name]
+    if tier.coarser is None or tier.retention is None:
+        return points.where(F.lit(False)), points
+    coarse = TIERS[tier.coarser]
+    expired, retained = split_expired(points, tier, pd.Timestamp(now))
+    if "agg_func" not in expired.columns and registry is not None:
+        expired = expired.join(F.broadcast(registry.select(key, "agg_func")), key)
+    parts = []
+    for agg_name, agg in (("SUM", "sum"), ("AVG", "avg"), ("LAST", "last")):
+        sub = expired.where(F.col("agg_func") == agg_name)
+        parts.append(
+            downsample(
+                sub,
+                key=key,
+                agg=agg,
+                from_seconds=tier.seconds,
+                to_seconds=coarse.seconds,
+            ).withColumn("tier", F.lit(coarse.name))
+        )
+    coarse_points = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return coarse_points, retained

@@ -1,0 +1,363 @@
+"""Formula engine — F1-F9 (SURVEY.md §2.7).
+
+The reference interprets an XML expression AST per device in pandas, doing
+one remote read per ``mh`` leaf (reference lib2/calculate_formulas.py:236-264).
+This engine *compiles* the AST driver-side into a single Spark plan: one
+dense time grid, one left join per distinct series leaf, and the whole
+arithmetic/function tree as a Column expression — Catalyst sees everything
+and can collapse joins, push filters, and codegen the math. No per-node
+materialization, no UDF.
+
+AST tags (reference harmonizers/__init__.py:394-404):
+  mo  operator (+ - * /)          mbr parenthesized subtree
+  mh  series by hash              mc  named constant (KPIS_FACTORS)
+  mv  literal value               mq  scalar query (driver-resolved)
+  fun function call: fop = name in {CLIP, ABS, HE}, fpar* = arguments
+
+Semantics pinned to the reference:
+- evaluation order: all * and / (document order, left-assoc via splicing)
+  then + and - (reference :257-263);
+- every leaf is aligned onto the dense [ts_ini, ts_end] grid at the target
+  freq (reference :161-162): same-freq passthrough, coarser->finer upsample
+  by LOCF with SUM values split evenly across covered slots
+  (reference :183-190), finer->coarser downsample with the series'
+  aggregation function (reference :179-182); source values round(5) first;
+- CLIP(lo, hi, x): null bounds don't clip (pandas clip skips NaN bounds);
+- ABS(x);
+- HE(summer_max, winter_min, x): 1 below summer_max, 0 above winter_min,
+  else carry previous output (LOCF), first undecided rows null; evaluated
+  with a 180-day warmup before ts_ini then trimmed (reference :119-141);
+- constants: the v2 KPIS_FACTORS (reference :40-42 — the live pipeline's
+  values, not launcher.py's v1 set);
+- arithmetic on missing values propagates null; callers drop nulls at emit
+  (reference harmonizers/__init__.py:445).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+from datetime import timedelta
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+# v2 constants (reference lib2/calculate_formulas.py:40-42). The v1 set in
+# launcher.py/lib/__init__.py:7-9 differs; v2 is the live pipeline.
+KPIS_FACTORS = {"HOUSE_FACTOR": 8.76, "CO2_FACTOR": 0.00009, "TREES_FACTOR": 0.0022}
+
+OPERATION_MAP = {"SUM": "sum", "AVG": "avg", "LAST": "last"}
+
+
+@dataclass
+class SeriesRef:
+    """A stored series the formula can reference by hash."""
+    df: DataFrame          # (start TIMESTAMP, value DOUBLE)
+    freq: int | str        # seconds, or "P1M" / "P1W"
+    agg_func: str          # SUM | AVG | LAST
+
+
+def comparable_seconds(freq: int | str) -> float:
+    """reference :20-24 — P1M compares as 30 days."""
+    if freq == "P1M":
+        return 30 * 86400.0
+    if freq == "P1W":
+        return 7 * 86400.0
+    return float(freq)
+
+
+def floor_ts(ts: pd.Timestamp, freq: int | str) -> pd.Timestamp:
+    """reference isodate_floor (:11-17)."""
+    ts = pd.Timestamp(ts)
+    if freq == "P1M":
+        return ts.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if freq == "P1W":
+        return ts.replace(hour=0, minute=0, second=0, microsecond=0) - pd.DateOffset(
+            days=ts.weekday()
+        )
+    return ts.floor(pd.Timedelta(seconds=int(freq)))
+
+
+def _trunc_col(c: Column, freq: int | str) -> Column:
+    if freq == "P1M":
+        return F.date_trunc("month", c)
+    if freq == "P1W":
+        return F.date_trunc("week", c)
+    s = int(freq)
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(c) / s) * s)
+
+
+class FormulaEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        series: dict[str, SeriesRef],
+        constants: dict[str, float] | None = None,
+        scalar_queries: dict[str, float] | None = None,
+        he_warmup_days: int = 180,
+    ):
+        self.spark = spark
+        self.series = series
+        self.constants = dict(constants or KPIS_FACTORS)
+        self.scalar_queries = dict(scalar_queries or {})
+        self.he_warmup_days = he_warmup_days
+
+    # -- grid ---------------------------------------------------------------
+    def _grid(self, ts_ini, ts_end, freq) -> DataFrame:
+        t0 = floor_ts(ts_ini, freq)
+        t1 = floor_ts(ts_end, freq)
+        step = (
+            "interval 1 month" if freq == "P1M"
+            else "interval 1 week" if freq == "P1W"
+            else f"interval {int(freq)} seconds"
+        )
+        return self.spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit(t0.to_pydatetime()).cast("timestamp"),
+                    F.lit(t1.to_pydatetime()).cast("timestamp"),
+                    F.expr(step),
+                )
+            ).alias("start")
+        )
+
+    # -- leaf alignment (F3 / R6 / R7) ---------------------------------------
+    def _align_series(self, ref: SeriesRef, grid: DataFrame, freq) -> DataFrame:
+        """Align a stored series onto the grid at the target freq. Returns
+        (start, value) with exactly the grid's rows."""
+        src = ref.df.select(
+            F.col("start").alias("__src_ts"), F.round(F.col("value"), 5).alias("__v")
+        )
+        target_s = comparable_seconds(freq)
+        source_s = comparable_seconds(ref.freq)
+        if target_s > source_s:
+            # downsample with the series' aggregation function (R6)
+            win = _trunc_col(F.col("__src_ts"), freq).alias("start")
+            g = src.groupBy(win)
+            fn = OPERATION_MAP[ref.agg_func]
+            if fn == "sum":
+                agg = g.agg(F.sum("__v").alias("value"))
+            elif fn == "avg":
+                agg = g.agg(F.avg("__v").alias("value"))
+            else:
+                agg = g.agg(F.expr("max_by(__v, __src_ts)").alias("value"))
+            return grid.join(agg, "start", "left")
+        if target_s < source_s:
+            # upsample: LOCF as-of the grid (R7); SUM divides by the number
+            # of grid slots each source point covers (reference :183-190)
+            joined = grid.join(
+                src, F.col("start") >= F.col("__src_ts"), "left"
+            )
+            w = W.partitionBy("start").orderBy(F.col("__src_ts").desc())
+            asof = (
+                joined.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            if ref.agg_func == "SUM":
+                cnt = F.count("*").over(W.partitionBy("__src_ts"))
+                asof = asof.withColumn(
+                    "__v",
+                    F.when(
+                        F.col("__src_ts").isNotNull(), F.col("__v") / cnt
+                    ).otherwise(F.col("__v")),
+                )
+            return asof.select("start", F.col("__v").alias("value"))
+        # same freq: snap to grid labels
+        return grid.join(
+            src.select(_trunc_col(F.col("__src_ts"), freq).alias("start"), F.col("__v").alias("value")),
+            "start",
+            "left",
+        )
+
+    # -- compile ------------------------------------------------------------
+    def evaluate(self, formula_xml: str, ts_ini, ts_end, freq: int | str) -> DataFrame:
+        """Compile + run; returns (start, value) over [ts_ini, ts_end]."""
+        tree = ET.fromstring(f"<root>{formula_xml}</root>")
+        has_he = any(
+            fop is not None and fop.text == "HE" for fop in tree.iter("fop")
+        )
+        eval_ini = (
+            pd.Timestamp(ts_end) - timedelta(days=self.he_warmup_days)
+            if has_he
+            else pd.Timestamp(ts_ini)
+        )
+        eval_ini = min(eval_ini, pd.Timestamp(ts_ini))
+        grid = self._grid(eval_ini, ts_end, freq)
+        self._leaf_i = 0
+        df, col = self._compile(tree, grid, freq)
+        out = df.select("start", col.cast("double").alias("value"))
+        lo = floor_ts(ts_ini, freq).to_pydatetime()
+        return out.where(F.col("start") >= F.lit(lo).cast("timestamp"))
+
+    def _attach_leaf(self, df: DataFrame, aligned: DataFrame) -> tuple[DataFrame, Column]:
+        name = f"__leaf_{self._leaf_i}"
+        self._leaf_i += 1
+        return (
+            df.join(aligned.withColumnRenamed("value", name), "start", "left"),
+            F.col(name),
+        )
+
+    def _compile(self, node: ET.Element, df: DataFrame, freq) -> tuple[DataFrame, Column]:
+        children = list(node)
+        if len(children) == 0:
+            tag = node.tag
+            if tag == "mv":
+                return df, F.lit(float(node.text))
+            if tag == "mc":
+                return df, F.lit(float(self.constants[node.text]))
+            if tag == "mq":
+                return df, F.lit(float(self.scalar_queries[node.text]))
+            if tag == "mh":
+                ref = self.series[node.text]
+                grid = df.select("start").distinct()
+                return self._attach_leaf(df, self._align_series(ref, grid, freq))
+            raise ValueError(f"unknown leaf tag {tag!r}")
+        if node.tag == "fun":
+            return self._compile_fun(node, df, freq)
+        if len(children) == 1:
+            return self._compile(children[0], df, freq)
+        # operator splice: * / first (document order), then + - (F1/F2)
+        items: list = []
+        for ch in children:
+            if ch.tag == "mo":
+                items.append(ch.text.strip())
+            else:
+                df, col = self._compile(ch, df, freq)
+                items.append(col)
+        for ops in ("*/", "+-"):
+            i = 1
+            while i < len(items) - 1:
+                if isinstance(items[i], str) and items[i] in ops:
+                    a, op, b = items[i - 1], items[i], items[i + 1]
+                    if op == "*":
+                        r = a * b
+                    elif op == "/":
+                        r = a / b
+                    elif op == "+":
+                        r = a + b
+                    else:
+                        r = a - b
+                    items[i - 1 : i + 2] = [r]
+                else:
+                    i += 2
+        assert len(items) == 1
+        return df, items[0]
+
+    def _compile_fun(self, node: ET.Element, df: DataFrame, freq) -> tuple[DataFrame, Column]:
+        fname = node.find("./fop").text
+        params = node.findall("./fpar")
+        if fname == "ABS":
+            df, c = self._compile(params[0], df, freq)
+            return df, F.abs(c)
+        if fname == "CLIP":
+            df, lo = self._compile(params[0], df, freq)
+            df, hi = self._compile(params[1], df, freq)
+            df, x = self._compile(params[2], df, freq)
+            # null bounds don't clip (pandas clip skips NaN bounds)
+            return df, F.greatest(F.least(x, hi), lo)
+        if fname == "HE":
+            df, summer_max = self._compile(params[0], df, freq)
+            df, winter_min = self._compile(params[1], df, freq)
+            df, x = self._compile(params[2], df, freq)
+            decided = (
+                F.when(x < summer_max, F.lit(1.0))
+                .when(x > winter_min, F.lit(0.0))
+                .otherwise(F.lit(None))
+            )
+            # carry previous output = LOCF of decided flags; rows where any
+            # input is null stay null (reference aligns on common indexes)
+            name = f"__he_{self._leaf_i}"
+            self._leaf_i += 1
+            df = df.withColumn(name, decided)
+            carried = F.last(name, ignorenulls=True).over(
+                W.orderBy("start").rowsBetween(W.unboundedPreceding, 0)
+            )
+            valid = x.isNotNull() & summer_max.isNotNull() & winter_min.isNotNull()
+            return df, F.when(valid, carried).otherwise(F.lit(None))
+        raise ValueError(f"unknown function {fname!r}")
+
+
+# ---------------------------------------------------------------------------
+# F7 — dependency ordering
+# ---------------------------------------------------------------------------
+
+def order_by_dependencies(formulas: dict[str, str]) -> list[list[str]]:
+    """Topological levels for calculation targets: priority(target) =
+    1 + max(priority of referenced targets); independent targets are level 0
+    (reference lib2/calculate_formulas.py:75-110). Returns a list of levels,
+    each a list of target hashes, to run as sequential Spark jobs."""
+    deps: dict[str, set[str]] = {}
+    for target, xml in formulas.items():
+        tree = ET.fromstring(f"<root>{xml}</root>")
+        leaves = {mh.text for mh in tree.iter("mh")}
+        deps[target] = leaves & set(formulas.keys())
+    prio: dict[str, int] = {}
+
+    def get_prio(t: str, seen: frozenset = frozenset()) -> int:
+        if t in prio:
+            return prio[t]
+        if t in seen:  # cycle -> 0, like the reference's bare except (:96-97)
+            return 0
+        p = 0
+        for d in deps[t]:
+            p = max(p, get_prio(d, seen | {t}) + 1)
+        prio[t] = p
+        return p
+
+    for t in formulas:
+        get_prio(t)
+    levels: dict[int, list[str]] = {}
+    for t, p in prio.items():
+        levels.setdefault(p, []).append(t)
+    return [sorted(levels[p]) for p in sorted(levels)]
+
+
+# ---------------------------------------------------------------------------
+# F9 — compliance limits
+# ---------------------------------------------------------------------------
+
+def harmonize_limits(
+    engine: FormulaEngine,
+    measurement: DataFrame,  # (start, value)
+    lower_activation_xml: str,
+    lower_formula_xml: str,
+    upper_activation_xml: str,
+    upper_formula_xml: str,
+    ts_ini,
+    ts_end,
+    freq: int | str,
+) -> DataFrame:
+    """Compliance = measurement within [lower, upper] where both activations
+    fire (non-zero, non-null); 5-way inner alignment then
+    int(between) (reference harmonizers/__init__.py:463-512)."""
+    la = engine.evaluate(lower_activation_xml, ts_ini, ts_end, freq)
+    lf = engine.evaluate(lower_formula_xml, ts_ini, ts_end, freq)
+    ua = engine.evaluate(upper_activation_xml, ts_ini, ts_end, freq)
+    uf = engine.evaluate(upper_formula_xml, ts_ini, ts_end, freq)
+
+    def activation(df):
+        # 0 -> null -> dropped; survivors become 1.0 (reference :482-485)
+        return df.where(F.col("value").isNotNull() & (F.col("value") != 0)).select(
+            "start", F.lit(1.0).alias("value")
+        )
+
+    la, ua = activation(la), activation(ua)
+    lf = lf.where(F.col("value").isNotNull())
+    uf = uf.where(F.col("value").isNotNull())
+    m = measurement.where(F.col("value").isNotNull())
+    joined = (
+        m.select("start", F.col("value").alias("measurement"))
+        .join(la.select("start"), "start")
+        .join(ua.select("start"), "start")
+        .join(lf.select("start", F.col("value").alias("lower_limit")), "start")
+        .join(uf.select("start", F.col("value").alias("upper_limit")), "start")
+    )
+    return joined.select(
+        "start",
+        F.col("measurement")
+        .between(F.col("lower_limit"), F.col("upper_limit"))
+        .cast("int")
+        .cast("double")
+        .alias("value"),
+    )
