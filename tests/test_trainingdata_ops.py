@@ -1,0 +1,149 @@
+"""Dedup / similarity / text-analysis / multimodal operators on the
+driver-provided documents + embeddings tables (sf0.001)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_harmonizer_spark.functions.textstats import (
+    with_fingerprint,
+    with_lang_guess,
+    with_quality_score,
+    with_token_counts,
+)
+from timeseries_harmonizer_spark.operators import docdedup as D
+from timeseries_harmonizer_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from timeseries_harmonizer_spark.operators.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_exact_dedup_with_planted_dups(spark, docs):
+    # plant dups: re-append 5 docs with new ids
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000)
+    all_docs = docs.unionByName(dup)
+    out = D.exact_dedup(all_docs).toPandas()
+    assert (out["n_copies"] > 1).sum() == 5
+    assert out["n_copies"].sum() == all_docs.count()
+    # representative is the smallest id -> original, not the planted copy
+    assert (out.loc[out["n_copies"] > 1, "keep_id"] < 1000000).all()
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    # near-dup: copy of doc with one word changed at the end
+    base = docs.where("doc_id < 5").toPandas()
+    mutated = base.copy()
+    mutated["doc_id"] += 2000
+    mutated["text"] = mutated["text"] + " zzz"
+    all_docs = docs.unionByName(spark.createDataFrame(mutated))
+    pairs = D.minhash_near_dups(all_docs, threshold=0.6).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(5):
+        assert (i, i + 2000) in found, (i, sorted(found)[:10])
+
+
+def test_simhash_near_dups(spark, docs):
+    base = docs.where("doc_id < 3").toPandas()
+    mutated = base.copy()
+    mutated["doc_id"] += 3000
+    mutated["text"] = mutated["text"] + " qq"
+    all_docs = docs.unionByName(spark.createDataFrame(mutated))
+    pairs = D.simhash_near_dups(all_docs, max_hamming=6).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(i, i + 3000) for i in range(3)} <= found
+
+
+def test_jaccard_exact_values(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c d e", "a b c d x"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sh = D.shingles(df, n=2)  # bigrams: {ab,bc,cd,de} vs {ab,bc,cd,dx}
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    out = D.jaccard_on_pairs(sh, pairs).toPandas()
+    assert np.isclose(out["jaccard"].iloc[0], 3 / 5)
+
+
+def test_textstats(docs):
+    out = (
+        with_fingerprint(with_lang_guess(with_quality_score(with_token_counts(docs))))
+        .select("doc_id", "ws_tokens", "re_tokens", "quality", "lang_guess", "fingerprint", "n_chars", "text")
+        .toPandas()
+    )
+    # token counts consistent with n_chars ground truth: ws_tokens = words
+    row = out.iloc[0]
+    assert row["ws_tokens"] == len(row["text"].split())
+    assert (out["quality"] >= 0).all() and (out["quality"] <= 1.001).all()
+    assert out["fingerprint"].str.len().eq(32).all()
+    assert set(out["lang_guess"]) <= {"en", "es", "de", "und"}
+    # deterministic: same text -> same fingerprint
+    assert out["fingerprint"].nunique() == out["text"].str.lower().str.replace(r"\s+", " ", regex=True).nunique()
+
+
+def test_brute_force_topk(spark, emb):
+    out = brute_force_topk(emb, query_ids=[0, 1], k=5).toPandas()
+    assert set(out["query_id"]) == {0, 1}
+    assert out.groupby("query_id")["rank"].max().eq(5).all()
+    # oracle: numpy cosine for query 0
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy())
+    q = vecs[pdf["vec_id"].to_numpy() == 0][0]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    ids = pdf["vec_id"].to_numpy()
+    order = [i for i in np.argsort(-sims) if ids[i] != 0][:5]
+    exp = ids[order]
+    got = out[out["query_id"] == 0].sort_values("rank")["neighbor_id"].to_numpy()
+    assert list(got) == list(exp)
+
+
+def test_lsh_topk_recall(spark, emb):
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, qids, k=5).toPandas()
+    approx = lsh_topk(emb, qids, k=5, n_planes=4, n_tables=10).toPandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+    recall = hits / (5 * len(qids))
+    assert recall >= 0.5, recall  # ANN tradeoff, but must be far above chance
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=24)
+    feats = extract_features(media, fake_decode=True).toPandas()
+    assert len(feats) == 24
+    assert feats["byte_entropy"].between(0, 8).all()
+    assert {"mean_r", "mean_g", "mean_b"} <= set(feats.columns)
+    frames = frame_sample(media, every_bytes=64).toPandas()
+    assert (frames.groupby("media_id").size() == 4).all()  # 256-byte payloads
+    assert frames["frame_bytes"].map(len).eq(64).all()
+
+
+def test_decode_stub_raises(spark):
+    from timeseries_harmonizer_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", 4, 4, fake=False)

@@ -1,0 +1,82 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure Column expressions (JVM-side, codegen) — no UDFs. Each has an
+ANSI-SQL-equivalent form used by the DuckDB oracle in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deterministic and tiny by design (no external models in this sandbox).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+# BPE-ish tokenizer regex: words / numbers / single punctuation marks.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _hits(text_col, words) -> F.Column:
+    toks = F.split(F.lower(text_col), r"\s+")
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(toks, arr)) + F.lit(0)
+
+
+def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace token count + regex (BPE-ish) token count."""
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(F.trim(F.col(text)), r"\s+"))
+    ).withColumn("re_tokens", F.regexp_count(F.col(text), F.lit(TOKEN_RE)))
+
+
+def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio, and a
+    blended 0-1 score (long-enough, low punctuation, some stopwords)."""
+    t = F.col(text)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]"))
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    sw = _hits(t, [w for ws in STOPWORDS.values() for w in ws])
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(sw / F.greatest(n_tokens, F.lit(1)), 4)
+    score = F.round(
+        F.least(n_chars / F.lit(200.0), F.lit(1.0)) * 0.5
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def with_lang_guess(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-hit language ID over the tiny lists; ties and no-hits -> 'und'."""
+    en, es, de = (
+        _hits(F.col(text), STOPWORDS["en"]),
+        _hits(F.col(text), STOPWORDS["es"]),
+        _hits(F.col(text), STOPWORDS["de"]),
+    )
+    best = F.greatest(en, es, de)
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-near-dup key (a rolling-hash analog that both engines share)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))

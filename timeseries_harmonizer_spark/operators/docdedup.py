@@ -1,0 +1,211 @@
+"""Document deduplication at training-data scale (SURVEY-extension ops):
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB: every method is shuffle-bounded —
+- exact/fingerprint dedup: single hash aggregation on a digest (never the
+  raw text), map-side combined;
+- MinHash LSH: shingle -> K minhashes -> B bands -> bucket join; candidate
+  pairs only ever materialize within a band bucket (no O(n^2));
+- SimHash: 64-bit signature, dedup by hamming-ball buckets (4 rotations of
+  16-bit blocks) so near signatures collide in at least one block;
+- n-gram Jaccard: exact verification on LSH/bucket candidates only.
+
+Everything is Column-expression arithmetic on xxhash64/md5 digests — no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# Large prime below 2^31 for the (a*x + b) % p minhash family.
+_MH_PRIME = 2147483647
+
+
+def normalized(text_col) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by md5 of normalized text: one row per distinct digest,
+    keeping the smallest id (deterministic representative) and the group
+    size. Hash-aggregate on the 16-byte digest, not the document."""
+    key = F.md5(normalized(F.col(text))).alias("digest")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Word n-gram shingles, hashed to 64-bit: (id, shingle_hash) distinct."""
+    toks = F.split(normalized(F.col(text)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32, seed: int = 7
+) -> DataFrame:
+    """K min-hashes per doc via the (a*h+b) % p family over shingle hashes.
+    One aggregation: groupBy(doc) of K mins (map-side combined)."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MH_PRIME), rnd.randrange(0, _MH_PRIME)) for _ in range(num_hashes)]
+    h = F.pmod(F.col("shingle"), F.lit(_MH_PRIME))
+    aggs = [
+        F.min(F.pmod(h * a + b, F.lit(_MH_PRIME))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature (bands x rows), bucket-join within bands, distinct
+    candidate pairs (a < b). Shuffle key = (band, bucket_hash)."""
+    assert bands * rows_per_band <= sum(c.startswith("mh_") for c in sigs.columns)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs only."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    common = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    candidate pairs -> exact Jaccard verify >= threshold."""
+    sh = shingles(df, text, id_col, n)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_on_pairs(sh, pairs, id_col).where(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over token hashes: bit b of the signature is the sign
+    of sum(+-1 per token at bit b). Pure expression: explode tokens, per-bit
+    contributions via bitwise ops, one aggregation."""
+    toks = F.explode(F.split(normalized(F.col(text)), " ")).alias("tok")
+    base = df.select(F.col(id_col), toks).withColumn("h", F.xxhash64("tok"))
+    def bit_mask(b: int) -> int:
+        return (1 << b) if b < 63 else -(1 << 63)  # int64 sign bit
+
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(bit_mask(b))) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = base.groupBy(id_col).agg(*bit_aggs)
+    sig = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(bit_mask(b))).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash: bucket on each of the four 16-bit blocks (a pair
+    within hamming distance 3 must agree on at least one block), verify
+    hamming distance on candidates."""
+    sigs = simhash(df, text, id_col)
+    blocks = []
+    for blk in range(4):
+        blocks.append(
+            sigs.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(blk).alias("blk"),
+                F.shiftrightunsigned("simhash", blk * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            )
+        )
+    b = blocks[0]
+    for x in blocks[1:]:
+        b = b.unionByName(x)
+    l, r = b.alias("l"), b.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The decode step is STUBBED (image/audio codecs aren't in this container):
+``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder (seeded from the bytes) produces
+shape-correct outputs — the Spark-side plumbing (schema, batching,
+partition sizing) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, width int, height int, duration_s double, "
+    "payload binary"
+)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic opaque binary payloads + typed metadata."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), 3) + 1).cast("int"),
+        ).alias("kind"),
+        (F.pmod(F.xxhash64("id", F.lit("w")), 64) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit("h")), 64) + 16).cast("int").alias("height"),
+        (F.pmod(F.xxhash64("id", F.lit("d")), 300) / 10.0).alias("duration_s"),
+        F.encode(
+            F.repeat(F.sha2(F.concat(F.lit("m"), F.col("id").cast("string")), 256), 4),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
+    """STUB: real image decoding needs codecs absent from this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True for "
+            "the deterministic fake decoder"
+        )
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**31)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def extract_features(
+    media: DataFrame, fake_decode: bool = True, batch_hint: int = 1024
+) -> DataFrame:
+    """Decode -> feature-extract per batch: mean/std per channel + a byte
+    histogram sketch of the raw payload. Vectorized inside each Arrow batch;
+    output schema is fixed and typed."""
+    out_schema = (
+        "media_id long, kind string, mean_r double, mean_g double, mean_b double, "
+        "byte_entropy double"
+    )
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.payload), r.width, r.height, fake=fake_decode)
+                means = img.reshape(-1, 3).mean(axis=0)
+                counts = np.bincount(
+                    np.frombuffer(bytes(r.payload), dtype=np.uint8), minlength=256
+                )
+                p = counts / max(1, counts.sum())
+                ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
+                rows.append(
+                    (r.media_id, r.kind, float(means[0]), float(means[1]), float(means[2]), round(ent, 6))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mean_r", "mean_g", "mean_b", "byte_entropy"]
+            )
+
+    return media.mapInPandas(fn, out_schema)
+
+
+def frame_sample(media: DataFrame, every_bytes: int = 32) -> DataFrame:
+    """Frame-sampling analog: slice every Nth byte window of the payload as
+    a 'frame'. Pure Column ops (substring over binary)."""
+    n_frames = F.floor(F.length("payload") / every_bytes).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    frames = F.transform(
+        idx, lambda i: F.substring(F.col("payload"), i * every_bytes + 1, every_bytes)
+    )
+    return media.select(
+        "media_id", "kind", F.posexplode(frames).alias("frame_no", "frame_bytes")
+    )
