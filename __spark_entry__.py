@@ -1,38 +1,1112 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family from SURVEY.md §2 onto
+the driver-provided TPC-H-ish tables (events as the time-series stand-in,
+documents/embeddings for the training-data ops); ``oracle_sql()`` holds the
+DuckDB-equivalent ANSI SQL. Column names and rounding match on both sides
+(the driver hash-compares values after sorting columns by name).
+
+Spark implementations go through the engine's operators
+(timeseries_harmonizer_spark.*) wherever the operator exists there — the
+point of the gate is to pin the engine, not to re-write SQL twice.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+EV = "events"
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, EV)
+    return ev.withColumn("hour", F.date_trunc("hour", "ts"))
+
+
+# ---------------------------------------------------------------------------
+# Relational / scan / join (S*, J1)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q02_top_revenue_segment",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q02(spark, sf_dir):
+    li, o, c = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "q03_broadcast_enrich",
+    """
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q03(spark, sf_dir):
+    ev = _t(spark, sf_dir, EV)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)  # J1
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregation (R4/R6-analog tumbling windows, the tier rollup core)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q04_tumbling_1h",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n, round(min(value), 2) AS vmin,
+           round(max(value), 2) AS vmax, round(avg(value), 4) AS vavg,
+           round(sum(value), 2) AS vsum
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q04(spark, sf_dir):
+    return (
+        _hourly(spark, sf_dir)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+            F.round(F.avg("value"), 4).alias("vavg"),
+            F.round(F.sum("value"), 2).alias("vsum"),
+        )
+    )
+
+
+@_q(
+    "q05_keep_last_dedup",
+    """
+    SELECT user_id, minute, event_id AS kept_event_id, round(value, 2) AS value
+    FROM (
+      SELECT user_id, date_trunc('minute', ts) AS minute, event_id, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q05(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.dedup import keep_last
+
+    ev = _t(spark, sf_dir, EV).withColumn("minute", F.date_trunc("minute", "ts"))
+    # engine keep_last uses a single order column; build the (ts, event_id)
+    # tiebreak as a struct
+    ev = ev.withColumn("ord", F.struct(F.col("ts"), F.col("event_id")))
+    out = keep_last(ev, keys=("user_id", "minute"), order_col="ord")
+    return out.select(
+        "user_id", "minute", F.col("event_id").alias("kept_event_id"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+@_q(
+    "q06_last_write_wins",
+    """
+    SELECT user_id, hour, round(value, 2) AS latest_value
+    FROM (
+      SELECT user_id, date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q06(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.dedup import last_write_wins
+
+    ev = _hourly(spark, sf_dir).withColumn(
+        "ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = last_write_wins(ev, keys=("user_id", "hour"), write_order_col="ord")
+    return out.select("user_id", "hour", F.round("value", 2).alias("latest_value"))
+
+
+@_q(
+    "q07_month_dedup",
+    """
+    SELECT user_id, month, event_id AS kept_event_id
+    FROM (
+      SELECT user_id, date_trunc('month', ts) AS month, event_id,
+             row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q07(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.dedup import keep_last_per_month
+
+    ev = _t(spark, sf_dir, EV).withColumn(
+        "ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = keep_last_per_month(ev, key="user_id", ts_col="ts", order_col="ord")
+    return out.select(
+        "user_id",
+        F.date_trunc("month", "ts").alias("month"),
+        F.col("event_id").alias("kept_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (R5)
+# ---------------------------------------------------------------------------
+
+SESSION_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+"""
+
+@_q(
+    "q08_sessionize",
+    SESSION_SQL
+    + """
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_rows
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q08(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, EV)
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_q(
+    "q09_session_stats",
+    SESSION_SQL
+    + """
+    SELECT user_id,
+           round(avg(dur), 2) AS avg_session_s, max(n) AS max_session_rows
+    FROM (
+      SELECT user_id, session_id,
+             epoch(max(ts)) - epoch(min(ts)) AS dur, count(*) AS n
+      FROM sessions GROUP BY user_id, session_id)
+    GROUP BY user_id
+    """,
+)
+def q09(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, EV)
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+    per = s.groupBy("user_id", "session_id").agg(
+        (
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
+        ).alias("dur"),
+        F.count("*").alias("n"),
+    )
+    return per.groupBy("user_id").agg(
+        F.round(F.avg("dur"), 2).alias("avg_session_s"),
+        F.max("n").alias("max_session_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense grid + LOCF + interpolation (R8, R3-LOCF, R1/R2 gap-fill analogs)
+# ---------------------------------------------------------------------------
+
+HOURLY_AVG_SQL = """
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, avg(value) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)),
+    spans AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM spans),
+    joined AS (
+      SELECT g.user_id, g.hour, h.v
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour)
+"""
+
+@_q(
+    "q10_dense_locf",
+    "WITH "
+    + HOURLY_AVG_SQL
+    + """
+    SELECT user_id, hour, round(locf, 4) AS filled, (v IS NOT NULL) AS is_real FROM (
+      SELECT user_id, hour, v,
+             max(v) OVER (PARTITION BY user_id, grp) AS locf
+      FROM (
+        SELECT user_id, hour, v,
+               count(v) OVER (PARTITION BY user_id ORDER BY hour
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM joined))
+    """,
+)
+def q10(spark, sf_dir):
+    hourly = (
+        _hourly(spark, sf_dir)
+        .groupBy("user_id", "hour")
+        .agg(F.avg("value").alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
+    return joined.select(
+        "user_id",
+        "hour",
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
+        F.col("v").isNotNull().alias("is_real"),
+    )
+
+
+@_q(
+    "q11_gapfill_interp",
+    "WITH "
+    + HOURLY_AVG_SQL
+    + """
+    , prep AS (
+      SELECT user_id, hour, v,
+             count(v) OVER (PARTITION BY user_id ORDER BY hour
+                            ROWS UNBOUNDED PRECEDING) AS g_fwd,
+             count(v) OVER (PARTITION BY user_id ORDER BY hour DESC
+                            ROWS UNBOUNDED PRECEDING) AS g_bwd
+      FROM joined),
+    ctx AS (
+      SELECT user_id, hour, v,
+             max(v) OVER (PARTITION BY user_id, g_fwd) AS pv,
+             max(CASE WHEN v IS NOT NULL THEN hour END)
+                 OVER (PARTITION BY user_id, g_fwd) AS pt,
+             max(v) OVER (PARTITION BY user_id, g_bwd) AS nv,
+             min(CASE WHEN v IS NOT NULL THEN hour END)
+                 OVER (PARTITION BY user_id, g_bwd) AS nt
+      FROM prep)
+    SELECT user_id, hour,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv) * (epoch(hour) - epoch(pt)) / (epoch(nt) - epoch(pt))
+                 ELSE NULL END) * 10000) / 10000 AS interp
+    FROM ctx
+    """,
+)
+def q11(spark, sf_dir):
+    hourly = (
+        _hourly(spark, sf_dir)
+        .groupBy("user_id", "hour")
+        .agg(F.avg("value").alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    fwd = W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
+    bwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prep = joined.withColumn("g_fwd", F.count("v").over(fwd)).withColumn(
+        "g_bwd", F.count("v").over(bwd)
+    )
+    ctx = (
+        prep.withColumn("pv", F.max("v").over(W.partitionBy("user_id", "g_fwd")))
+        .withColumn(
+            "pt",
+            F.max(F.when(F.col("v").isNotNull(), F.col("hour"))).over(
+                W.partitionBy("user_id", "g_fwd")
+            ),
+        )
+        .withColumn("nv", F.max("v").over(W.partitionBy("user_id", "g_bwd")))
+        .withColumn(
+            "nt",
+            F.min(F.when(F.col("v").isNotNull(), F.col("hour"))).over(
+                W.partitionBy("user_id", "g_bwd")
+            ),
+        )
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.unix_timestamp("hour") - F.unix_timestamp("pt"))
+            / (F.unix_timestamp("nt") - F.unix_timestamp("pt")),
+        )
+        .otherwise(F.lit(None))
+    )
+    return ctx.select(
+        "user_id", "hour", (F.floor(interp * 10000) / 10000).alias("interp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-tier alignment (R6 downsample, R7 upsample), overlap trim (D4)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q12_downsample_1d",
+    """
+    SELECT user_id, date_trunc('day', ts) AS day,
+           round(sum(value), 2) AS vsum, count(*) AS n
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def q12(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.rollup import downsample
+
+    hourly = (
+        _hourly(spark, sf_dir)
+        .groupBy("user_id", "hour")
+        .agg(F.sum("value").alias("value"), F.count("*").alias("n"))
+    )
+    day = downsample(
+        hourly, key="user_id", start_col="hour", value="value",
+        agg="sum", from_seconds=3600, to_seconds=86400,
+    )
+    n = downsample(
+        hourly.withColumn("value", F.col("n").cast("double")),
+        key="user_id", start_col="hour", value="value",
+        agg="sum", from_seconds=3600, to_seconds=86400,
+    ).withColumnRenamed("value", "n")
+    return (
+        day.join(n, ["user_id", "hour"])
+        .select(
+            "user_id",
+            F.col("hour").alias("day"),
+            F.round("value", 2).alias("vsum"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q13_upsample_split",
+    """
+    SELECT user_id, day + g * INTERVAL 1 HOUR AS hour,
+           floor(vsum / 24.0 * 10000) / 10000 AS slot_value
+    FROM (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS vsum,
+                 unnest(generate_series(0, 23)) AS g
+          FROM events GROUP BY user_id, date_trunc('day', ts))
+    """,
+)
+def q13(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.rollup import upsample
+
+    daily = (
+        _t(spark, sf_dir, EV)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("value"))
+    )
+    out = upsample(
+        daily, key="user_id", start_col="day", value="value",
+        agg="sum", from_seconds=86400, to_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        F.col("day").alias("hour"),
+        (F.floor(F.col("value") * 10000) / 10000).alias("slot_value"),
+    )
+
+
+@_q(
+    "q14_overlap_trim",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def q14(spark, sf_dir):
+    cutoff = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    return (
+        _hourly(spark, sf_dir)
+        .where(F.col("ts") >= cutoff)  # D4
+        .groupBy("user_id", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cleaners (C1, C4, C5, C6, C11) + projections (P1, P3, P13, P14)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q15_neg_diff_drop",
+    """
+    SELECT user_id, count(*) AS n_kept, round(sum(value), 2) AS sum_kept
+    FROM (
+      SELECT user_id, value,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events)
+    WHERE d IS NULL OR d >= 0
+    GROUP BY user_id
+    """,
+)
+def q15(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.cleaning import drop_negative_diffs
+
+    ev = _t(spark, sf_dir, EV).withColumn(
+        "ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = drop_negative_diffs(ev, key="user_id", ts_col="ord", value="value")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_kept"), F.round(F.sum("value"), 2).alias("sum_kept")
+    )
+
+
+@_q(
+    "q16_cummax_clean",
+    """
+    SELECT user_id, count(*) AS n_kept, round(max(value), 2) AS max_kept
+    FROM (
+      SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cm
+      FROM events)
+    WHERE NOT (value < cm)
+    GROUP BY user_id
+    """,
+)
+def q16(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.cleaning import incremental_only_clean
+
+    ev = _t(spark, sf_dir, EV).withColumn(
+        "ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = incremental_only_clean(ev, key="user_id", ts_col="ord", value="value")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_kept"), F.round(F.max("value"), 2).alias("max_kept")
+    )
+
+
+@_q(
+    "q17_max_power_clean",
+    """
+    SELECT user_id,
+           count(*) AS n_rows,
+           count(CASE WHEN keep THEN 1 END) AS n_kept
+    FROM (
+      SELECT user_id,
+             value < 50.0 * (epoch(ts) - epoch(lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id))) / 3600.0 AS keep
+      FROM events)
+    GROUP BY user_id
+    """,
+)
+def q17(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.cleaning import max_power_clean
+
+    ev = _t(spark, sf_dir, EV).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    # engine operator orders by a single ts column; the (ts,event_id) order
+    # is baked into rn
+    out = max_power_clean(
+        ev, key="user_id", ts_col="ts", value="value", max_power=50.0, accumulated=False
+    )
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.col("value")).alias("n_kept"),
+    )
+
+
+@_q(
+    "q18_percentile_clean",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.1) AS q1, quantile_cont(value, 0.9) AS q3
+      FROM events GROUP BY event_type),
+    b2 AS (
+      SELECT event_type,
+             q1 - 1.5 * greatest(q3 - q1, 1.0) AS lo,
+             q3 + 1.5 * greatest(q3 - q1, 1.0) AS hi
+      FROM bounds)
+    SELECT e.event_type, count(CASE WHEN e.value BETWEEN b.lo AND b.hi THEN 1 END) AS n_kept,
+           round(sum(CASE WHEN e.value BETWEEN b.lo AND b.hi THEN e.value END), 2) AS sum_kept
+    FROM events e JOIN b2 b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q18(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.cleaning import percentile_clean
+
+    ev = _t(spark, sf_dir, EV)
+    out = percentile_clean(ev, key="event_type", value="value")
+    return out.groupBy("event_type").agg(
+        F.count("value").alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("sum_kept"),
+    )
+
+
+@_q(
+    "q19_night_zero",
+    """
+    SELECT user_id,
+           round(sum(CASE WHEN extract(hour FROM ts) >= 23 OR extract(hour FROM ts) < 6
+                     THEN 0.0 ELSE value END), 2) AS sum_day_only
+    FROM events GROUP BY user_id
+    """,
+)
+def q19(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.cleaning import night_consumption_clean
+
+    ev = _t(spark, sf_dir, EV)
+    out = night_consumption_clean(
+        ev, key="user_id", ts_col="ts", value="value", accumulated=False
+    )
+    return out.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("sum_day_only"))
+
+
+@_q(
+    "q20_sentinel_unit_convert",
+    """
+    WITH dim(event_type, raw_ratio, raw_offset) AS (
+      VALUES ('click', 2.0, 1.0), ('view', NULL, 0.5),
+             ('purchase', 0.5, NULL), ('signup', NULL, NULL), ('error', 3.0, 2.0))
+    SELECT e.event_type,
+           round(sum(CASE WHEN abs(e.value) = 2147483648.0 THEN NULL
+                     ELSE e.value * coalesce(d.raw_ratio, 1.0) +
+                          coalesce(d.raw_offset, 0.0) END), 2) AS converted_sum
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q20(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.cleaning import (
+        sentinel_to_null,
+        unit_convert,
+    )
+
+    ev = _t(spark, sf_dir, EV)
+    dim = spark.createDataFrame(
+        [
+            ("click", 2.0, 1.0),
+            ("view", None, 0.5),
+            ("purchase", 0.5, None),
+            ("signup", None, None),
+            ("error", 3.0, 2.0),
+        ],
+        "event_type string, raw_conv_ratio double, raw_conv_offset double",
+    ).withColumn("harm_conv_ratio", F.lit(1.0)).withColumn("harm_conv_offset", F.lit(0.0))
+    out = sentinel_to_null(ev.join(F.broadcast(dim), "event_type"))
+    out = unit_convert(out)
+    return out.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("converted_sum")
+    )
+
+
+@_q(
+    "q21_kpi_clip",
+    """
+    SELECT event_type,
+           round(sum(greatest((value - 100.0) * 0.00009, 0.0)), 6) AS co2_clipped
+    FROM events GROUP BY event_type
+    """,
+)
+def q21(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.cleaning import clip_at_zero
+    from timeseries_harmonizer_spark.plans.formula import KPIS_FACTORS
+
+    ev = _t(spark, sf_dir, EV).withColumn(
+        "value", (F.col("value") - 100.0) * F.lit(KPIS_FACTORS["CO2_FACTOR"])
+    )
+    out = clip_at_zero(ev)
+    return out.groupBy("event_type").agg(
+        F.round(F.sum("value"), 6).alias("co2_clipped")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J2, J3, J5) + formula engine (F1-F5)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q22_aligned_arith",
+    """
+    WITH p AS (SELECT user_id, date_trunc('hour', ts) AS hour, sum(value) AS pv
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         e AS (SELECT user_id, date_trunc('hour', ts) AS hour, sum(value) AS ev
+               FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT p.user_id, p.hour, round(greatest(p.pv - e.ev, 0.0), 2) AS net
+    FROM p JOIN e ON p.user_id = e.user_id AND p.hour = e.hour
+    """,
+)
+def q22(spark, sf_dir):
+    ev = _hourly(spark, sf_dir)
+    p = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "hour")
+        .agg(F.sum("value").alias("pv"))
+    )
+    e = (
+        ev.where("event_type = 'error'")
+        .groupBy("user_id", "hour")
+        .agg(F.sum("value").alias("ev"))
+    )
+    return (
+        p.join(e, ["user_id", "hour"])  # J2: aligned arithmetic, inner
+        .select(
+            "user_id",
+            "hour",
+            F.round(F.greatest(F.col("pv") - F.col("ev"), F.lit(0.0)), 2).alias("net"),
+        )
+    )
+
+
+@_q(
+    "q23_coalesce_merge",
+    """
+    WITH c AS (SELECT date_trunc('hour', ts) AS hour, avg(value) AS cv
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+         v AS (SELECT date_trunc('hour', ts) AS hour, avg(value) AS vv
+               FROM events WHERE event_type = 'view' GROUP BY 1)
+    SELECT coalesce(c.hour, v.hour) AS hour,
+           round(coalesce(c.cv, v.vv), 4) AS merged
+    FROM c FULL OUTER JOIN v ON c.hour = v.hour
+    """,
+)
+def q23(spark, sf_dir):
+    ev = _hourly(spark, sf_dir)
+    c = ev.where("event_type = 'click'").groupBy("hour").agg(F.avg("value").alias("cv"))
+    v = ev.where("event_type = 'view'").groupBy("hour").agg(F.avg("value").alias("vv"))
+    return (
+        c.withColumnRenamed("hour", "ch")
+        .join(v.withColumnRenamed("hour", "vh"), F.col("ch") == F.col("vh"), "outer")  # J5
+        .select(
+            F.coalesce("ch", "vh").alias("hour"),
+            F.round(F.coalesce("cv", "vv"), 4).alias("merged"),
+        )
+    )
+
+
+@_q(
+    "q24_limits_between",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    lim AS (SELECT quantile_cont(v, 0.1) AS lo, quantile_cont(v, 0.9) AS hi FROM hourly)
+    SELECT h.user_id, sum(CASE WHEN h.v BETWEEN l.lo AND l.hi THEN 1 ELSE 0 END) AS n_in,
+           count(*) AS n
+    FROM hourly h CROSS JOIN lim l GROUP BY h.user_id
+    """,
+)
+def q24(spark, sf_dir):
+    hourly = (
+        _hourly(spark, sf_dir)
+        .groupBy("user_id", "hour")
+        .agg(F.avg("value").alias("v"))
+    )
+    lim = hourly.agg(
+        F.percentile("v", F.lit(0.1)).alias("lo"),
+        F.percentile("v", F.lit(0.9)).alias("hi"),
+    )
+    return (
+        hourly.crossJoin(F.broadcast(lim))  # J3: limits join
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("v").between(F.col("lo"), F.col("hi")).cast("int")
+            ).alias("n_in"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+FORMULA_GRID_SQL = """
+    WITH s1 AS (
+      SELECT date_trunc('hour', ts) AS hour, sum(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    s2 AS (
+      SELECT date_trunc('hour', ts) AS hour, cast(count(*) AS double) AS v
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS start FROM bounds)
+"""
+
+@_q(
+    "q25_formula_engine",
+    FORMULA_GRID_SQL
+    + """
+    SELECT g.start,
+           round(round(s1.v, 5) + round(s2.v, 5) * 8.76, 4) AS value
+    FROM grid g LEFT JOIN s1 ON g.start = s1.hour LEFT JOIN s2 ON g.start = s2.hour
+    """,
+)
+def q25(spark, sf_dir):
+    from timeseries_harmonizer_spark.plans.formula import FormulaEngine, SeriesRef
+
+    ev = _hourly(spark, sf_dir)
+    s1 = (
+        ev.where("event_type = 'purchase'")
+        .groupBy(F.col("hour").alias("start"))
+        .agg(F.sum("value").alias("value"))
+    )
+    s2 = (
+        ev.where("event_type = 'click'")
+        .groupBy(F.col("hour").alias("start"))
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    bounds = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).first()
+    eng = FormulaEngine(
+        spark,
+        series={"S1": SeriesRef(s1, 3600, "SUM"), "S2": SeriesRef(s2, 3600, "SUM")},
+    )
+    xml = "<mh>S1</mh><mo>+</mo><mh>S2</mh><mo>*</mo><mc>HOUSE_FACTOR</mc>"
+    out = eng.evaluate(xml, bounds[0], bounds[1], 3600)
+    return out.select("start", F.round("value", 4).alias("value"))
+
+
+@_q(
+    "q26_clip_function",
+    FORMULA_GRID_SQL
+    + """
+    SELECT g.start,
+           round(greatest(least(round(s1.v, 5), 2000.0), 500.0), 4) AS value
+    FROM grid g LEFT JOIN s1 ON g.start = s1.hour
+    """,
+)
+def q26(spark, sf_dir):
+    from timeseries_harmonizer_spark.plans.formula import FormulaEngine, SeriesRef
+
+    ev = _hourly(spark, sf_dir)
+    s1 = (
+        ev.where("event_type = 'purchase'")
+        .groupBy(F.col("hour").alias("start"))
+        .agg(F.sum("value").alias("value"))
+    )
+    bounds = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).first()
+    eng = FormulaEngine(spark, series={"S1": SeriesRef(s1, 3600, "SUM")})
+    xml = (
+        "<fun><fop>CLIP</fop><fpar><mv>500</mv></fpar><fpar><mv>2000</mv></fpar>"
+        "<fpar><mh>S1</mh></fpar></fun>"
+    )
+    out = eng.evaluate(xml, bounds[0], bounds[1], 3600)
+    return out.select("start", F.round("value", 4).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q27_doc_exact_dedup",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q27(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.docdedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "q28_fingerprint_lang",
+    """
+    SELECT lang,
+           count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_fingerprints,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q28(spark, sf_dir):
+    from timeseries_harmonizer_spark.functions.textstats import with_fingerprint
+
+    docs = with_fingerprint(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_q(
+    "q29_token_counts",
+    f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS re_tokens
+    FROM documents
+    """,
+)
+def q29(spark, sf_dir):
+    from timeseries_harmonizer_spark.functions.textstats import with_token_counts
+
+    return with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "re_tokens"
+    )
+
+
+@_q(
+    "q30_quality_score",
+    r"""
+    SELECT doc_id,
+           round(cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS double)
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           length(text) AS n_chars_q
+    FROM documents
+    """,
+)
+def q30(spark, sf_dir):
+    from timeseries_harmonizer_spark.functions.textstats import with_quality_score
+
+    return with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "punct_ratio", "n_chars_q"
+    )
+
+
+@_q(
+    "q31_lang_id",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['the','and','of','to','a'])) AS en,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['el','la','de','que','y'])) AS es,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['der','die','und','das','ist'])) AS de
+      FROM documents)
+    SELECT CASE WHEN greatest(en, es, de) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de) THEN 'en'
+                WHEN es = greatest(en, es, de) THEN 'es'
+                ELSE 'de' END AS lang_guess,
+           count(*) AS n
+    FROM toks GROUP BY 1
+    """,
+)
+def q31(spark, sf_dir):
+    from timeseries_harmonizer_spark.functions.textstats import with_lang_guess
+
+    return (
+        with_lang_guess(_t(spark, sf_dir, "documents"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "q32_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+      FROM documents WHERE doc_id < 150),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(cast(c.c AS double) / (sa.sz + sb.sz - c.c), 6) AS jaccard
+    FROM common c JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE cast(c.c AS double) / (sa.sz + sb.sz - c.c) >= 0.6
+    """,
+)
+def q32(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.docdedup import jaccard_on_pairs, shingles
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 150")
+    sh = shingles(docs, n=1)
+    # candidate pairs = pairs sharing any token (0-overlap pairs can't pass
+    # the threshold anyway)
+    a = sh.withColumnRenamed("doc_id", "id_a")
+    b = sh.withColumnRenamed("doc_id", "id_b")
+    pairs = (
+        a.join(b, ["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_on_pairs(sh, pairs).where(F.col("jaccard") >= 0.6)
+
+
+# rows-only checks (not ANSI-SQL-expressible with portable hashes)
+@_q("q33_minhash_lsh")
+def q33(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.docdedup import minhash_near_dups
+
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@_q("q34_simhash")
+def q34(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.docdedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q35_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                          c.vec_id) AS rank
+      FROM embeddings c JOIN embeddings q
+        ON q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def q35(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@_q("q36_ann_lsh")
+def q36(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=10
+    )
+
+
+# rows-only: exact-replay rollup (1s-grid interpolation is not expressible
+# in portable SQL)
+@_q("q37_rollup_exact_replay")
+def q37(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.rollup import rollup_exact
+
+    ev = (
+        _t(spark, sf_dir, EV)
+        .where("user_id < 20")
+        .select(
+            F.col("user_id").cast("string").alias("url"),
+            F.col("ts").alias("warc_ts"),
+            F.col("value"),
+            F.lit("AVG").alias("agg_func"),
+        )
+    )
+    return rollup_exact(ev, freq_seconds=3600, session_col=None).select(
+        "url", "start", F.round("value", 5).alias("value")
+    )
+
+
+@_q("q38_multimodal_features")
+def q38(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    return extract_features(synthetic_media(spark, n=64), fake_decode=True)
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-(event_type, hour) continuous aggregate on sf0.001 —
+    the tier-rollup core applied to the driver's events table."""
+    return q04(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

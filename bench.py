@@ -1,0 +1,100 @@
+"""Benchmark entry: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners cover the engine's core paths: tier window rollup, sessionize,
+dense-grid LOCF, downsample, formula compile, doc dedup, jaccard,
+cosine top-k, plus the flagship synthetic web_pages rollup (closed-form
+native path) with compressed payload encode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from timeseries_harmonizer_spark.session import get_spark  # noqa: E402
+
+HEADLINERS = [
+    "q01_pricing_summary",
+    "q04_tumbling_1h",
+    "q08_sessionize",
+    "q10_dense_locf",
+    "q11_gapfill_interp",
+    "q12_downsample_1d",
+    "q25_formula_engine",
+    "q27_doc_exact_dedup",
+    "q32_ngram_jaccard",
+    "q35_cosine_topk",
+]
+
+
+def run_count(df) -> int:
+    return df.count()
+
+
+def flagship_rollup(spark, n_urls: int, points_per_url: int) -> tuple[int, float]:
+    """Synthetic web_pages -> native tier rollup -> compressed payloads.
+    Returns (points, seconds)."""
+    from timeseries_harmonizer_spark.operators.compress import compress_points
+    from timeseries_harmonizer_spark.plans import pipeline
+    from timeseries_harmonizer_spark.sources.webpages import registry, web_pages
+
+    pages = web_pages(spark, n_urls=n_urls, points_per_url=points_per_url, seed=42)
+    reg = registry(spark, pages, seed=42)
+    t0 = time.time()
+    pts, payloads = pipeline.run_tier(pages, reg, "1h")
+    n_points = pts.count()
+    blobs = compress_points(pts.select("url", "start", "value"), "1h")
+    blobs.write.mode("overwrite").parquet("/tmp/bench_blobs")
+    dt = time.time() - t0
+    return n_points, dt
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        t0 = time.time()
+        run_count(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    # flagship synthetic rollup, sized with sf
+    n_urls = max(200, int(2000 * sf * 10))
+    pts, dt = flagship_rollup(spark, n_urls=n_urls, points_per_url=300)
+    timings["flagship_webpages_rollup"] = round(dt, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + web_pages tier rollup, end-to-end",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rollup_points": pts,
+                "rollup_points_per_sec": round(pts / dt, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

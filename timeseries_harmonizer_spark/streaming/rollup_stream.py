@@ -1,0 +1,77 @@
+"""Structured Streaming tier rollup (SURVEY.md §2.10).
+
+The reference is micro-batch by cron: each run re-reads a trailing
+``days_to_gather`` window and the store dedups last-write-wins — an
+*effective* watermark of now - lookback (reference launcher_v2.py:22-28,
+launcher.py:40-44). The streaming mode makes that native: file-source
+readStream -> withWatermark(lookback) -> windowed continuous aggregate in
+append mode -> parquet sink with checkpointing. Late rows inside the
+watermark update their window before it finalizes; rows later than the
+watermark are dropped instead of silently corrupting closed windows.
+
+``trigger(availableNow=True)`` gives the cron-equivalent batch semantics
+with exactly-once sink checkpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, schema=None, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.format("parquet")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = reader.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def streaming_continuous_aggregate(
+    stream: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    freq_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(key, tumbling window) crawl_count + value stats, watermarked."""
+    win = F.window(F.col(ts_col), f"{freq_seconds} seconds")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), win)
+        .agg(
+            F.count("*").alias("crawl_count"),
+            F.min(value).alias("len_min"),
+            F.max(value).alias("len_max"),
+            F.avg(value).alias("len_avg"),
+            F.sum(value).alias("len_sum"),
+        )
+        .select(
+            key,
+            F.col("window.start").alias("start"),
+            "crawl_count",
+            "len_min",
+            "len_max",
+            "len_avg",
+            "len_sum",
+        )
+    )
+
+
+def run_available_now(
+    agg: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """Drain everything currently available (cron-run equivalent), then stop."""
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
