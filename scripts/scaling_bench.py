@@ -27,14 +27,22 @@ ppu = int(sys.argv[3])
 spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(cores, 8),
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
-pages = web_pages(spark, n_urls=n_urls, points_per_url=ppu, seed=42)
-reg = registry(spark, pages, seed=42)
-pages.cache().count(); reg.cache().count()   # exclude generation from timing
+gen = web_pages(spark, n_urls=n_urls, points_per_url=ppu, seed=42)
+gen.write.mode("overwrite").parquet(f"/tmp/scale_pages_{cores}")
+pages = spark.read.parquet(f"/tmp/scale_pages_{cores}")
+reg = registry(spark, pages, seed=42); reg.cache().count()
+
+def once():
+    pts, payloads = pipeline.run_tier(pages, reg, "1h")
+    n = pts.count()
+    payloads.count()
+    blobs = compress_points(pts.select("url","start","value"), "1h")
+    blobs.write.mode("overwrite").parquet(f"/tmp/scale_blobs_{cores}")
+    return n
+
+once()  # JIT/codegen warmup — measure steady state
 t0 = time.time()
-pts, payloads = pipeline.run_tier(pages, reg, "1h")
-n = pts.count()
-blobs = compress_points(pts.select("url","start","value"), "1h")
-blobs.write.mode("overwrite").parquet(f"/tmp/scale_blobs_{cores}")
+n = once()
 dt = time.time() - t0
 print(json.dumps({"cores": cores, "points": n, "sec": round(dt,2),
                   "points_per_sec": round(n/dt,1)}))

@@ -35,3 +35,41 @@ def extract_text(html: pd.Series) -> pd.Series:
 
 def with_extracted_text(df: DataFrame, html_col: str = "html", out_col: str = "extracted_text") -> DataFrame:
     return df.withColumn(out_col, extract_text(F.col(html_col)))
+
+
+def typed_value_extract(
+    df: DataFrame,
+    kind_col: str = "kind",
+    raw_col: str = "raw",
+    out_col: str = "value",
+) -> DataFrame:
+    """Typed value extraction — the bacnet/dexma/ixon extractor family
+    (reference harmonizers/sources/bacnet.py:26-55, dexma.py:46-53,
+    ixon.py:21-23): analog -> float, binary 'active'/'inactive' -> 1/0,
+    multiState -> int, anything unparseable -> NULL (the ValueError -> NaN
+    convention). Pure when/otherwise + try_cast, no UDF."""
+    raw = F.col(raw_col)
+    kind = F.col(kind_col)
+    value = (
+        F.when(kind == "analog", raw.try_cast("double"))
+        .when(
+            kind == "binary",
+            F.when(F.lower(raw) == "active", 1.0)
+            .when(F.lower(raw) == "inactive", 0.0)
+            .otherwise(F.lit(None)),
+        )
+        .when(kind == "multiState", raw.try_cast("int").cast("double"))
+        .otherwise(raw.try_cast("double"))
+    )
+    return df.withColumn(out_col, value)
+
+
+def month_floor_shift(
+    df: DataFrame, ts_col: str = "warc_ts", tz: str = "Europe/Madrid"
+) -> DataFrame:
+    """S4: floor to month start in a local tz, shifted back one month
+    (reference harmonizers/sources/manttest.py:65-73 — monthly meter
+    readings stamped to the month they measure, not the month they arrive)."""
+    local = F.from_utc_timestamp(F.col(ts_col), tz)
+    floored = F.date_trunc("month", local) - F.expr("INTERVAL 1 MONTH")
+    return df.withColumn(ts_col, F.to_utc_timestamp(floored, tz))

@@ -34,6 +34,28 @@ def keep_last(
     )
 
 
+def keep_last_sorted(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    order_col: str = "ingest_pos",
+) -> DataFrame:
+    """D1 keep-last per (key, ts) using ONE window over the key alone:
+    within a key partition ordered by (ts asc, order desc), a row is the
+    keep-last of its timestamp iff the previous row has a different ts.
+    Same semantics as ``keep_last(keys=(key, ts))`` but the shuffle key is
+    just ``key`` — so an upstream repartition(key) is reused, and every
+    downstream per-series window/groupBy stays shuffle-free (subset rule).
+    """
+    w = W.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(order_col).desc())
+    prev_ts = F.lag(ts_col).over(w)
+    return (
+        df.withColumn("__dup", prev_ts.isNotNull() & (prev_ts == F.col(ts_col)))
+        .where(~F.col("__dup"))
+        .drop("__dup")
+    )
+
+
 def keep_last_per_month(
     df: DataFrame,
     key: str = "url",

@@ -361,3 +361,15 @@ def harmonize_limits(
         .cast("double")
         .alias("value"),
     )
+
+
+def get_timeseries_components(formula_xml: str) -> dict[str, str]:
+    """F8: collect the leaf references of a formula AST (debug aid,
+    reference lib2/calculate_formulas.py:266-290). Returns {leaf_text: tag}
+    for every mh/mc/mv/mq leaf, in document order."""
+    tree = ET.fromstring(f"<root>{formula_xml}</root>")
+    out: dict[str, str] = {}
+    for node in tree.iter():
+        if node.tag in ("mh", "mc", "mv", "mq") and len(list(node)) == 0:
+            out[node.text] = node.tag
+    return out

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, functions as F
 from timeseries_harmonizer_spark.config import N_BUCKETS, TIERS, VALUE_ROUND, TierConfig
 from timeseries_harmonizer_spark.functions.extract import extract_text
 from timeseries_harmonizer_spark.operators.cleaning import unit_convert
-from timeseries_harmonizer_spark.operators.dedup import keep_last
+from timeseries_harmonizer_spark.operators.dedup import keep_last, keep_last_sorted
 from timeseries_harmonizer_spark.operators.rollup import (
     continuous_aggregate,
     rollup_exact,
@@ -39,22 +39,30 @@ def prepare(
     tier: TierConfig,
     use_extracted_text: bool = True,
 ) -> DataFrame:
-    """scan -> extract -> dedup -> enrich -> convert -> sessionize.
+    """scan -> extract -> prune -> ONE shuffle -> dedup -> enrich ->
+    convert -> sessionize.
 
-    Returns the cleaned per-row series frame with columns
-    (url, warc_ts, value, agg_func, property, max_power, session_id, ...).
+    Shuffle discipline (the 100 TB argument): the html binary never crosses
+    a shuffle — extraction and column pruning happen map-side on the scan,
+    so the single url-hash exchange carries only (url, ts, ingest_pos,
+    value, lang). Dedup is a sorted-lag over the url partition (not a
+    (url, ts)-keyed window), the registry join is broadcast, and every
+    downstream per-series window / groupBy(url, ...) reuses the same
+    partitioning via the subset rule — zero additional exchanges through
+    rollup and payload aggregation.
     """
     df = pages
     if use_extracted_text:
         df = df.withColumn("text", extract_text(F.col("html")))
     df = df.withColumn("value", F.length("text").cast("double"))
-    df = keep_last(df, keys=("url", "warc_ts"), order_col="ingest_pos")
+    df = df.select("url", "warc_ts", "ingest_pos", "value", "lang")
+    df = df.repartition(N_BUCKETS, "url")  # the one exchange
+    df = keep_last_sorted(df, key="url", ts_col="warc_ts", order_col="ingest_pos")
     df = df.join(F.broadcast(registry), "url", "inner")  # J1
     df = unit_convert(df)
     # P12: NaN drop at the stage boundary (reference harmonizers/__init__.py:347)
     # BEFORE sessionization, so null rows never define session boundaries.
     df = df.where(F.col("value").isNotNull())
-    df = bucket_repartition(df)
     df = sessionize(df, key="url", ts_col="warc_ts", gap_seconds=tier.gap_seconds)
     return df
 
@@ -122,10 +130,19 @@ def run_tier(
     registry: DataFrame,
     tier_name: str = "1h",
     exact: bool = False,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full plan for one tier: returns (points, tier_payloads)."""
+    """Full plan for one tier: returns (points, tier_payloads).
+
+    ``prepared`` feeds four consumers (SUM/AVG/LAST rollup branches +
+    payloads); persisting it turns 4 recomputations of
+    scan->extract->dedup->join->sessionize into one (the extract UDF and the
+    dedup shuffle are the expensive part — this is the analog of the
+    reference writing the cleaned series once per run)."""
     tier = TIERS[tier_name]
     prepared = prepare(pages, registry, tier)
+    if persist:
+        prepared = prepared.persist()
     pts = shape_points(rollup_points(prepared, tier, exact=exact), registry, tier)
     payloads = tier_payloads(prepared, tier)
     return pts, payloads
