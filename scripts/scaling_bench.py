@@ -25,11 +25,22 @@ cores = int(sys.argv[1])
 n_urls = int(sys.argv[2])
 ppu = int(sys.argv[3])
 spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=max(cores, 8),
-                  extra_conf={"spark.ui.showConsoleProgress": "false"})
-gen = web_pages(spark, n_urls=n_urls, points_per_url=ppu, seed=42)
-gen.write.mode("overwrite").parquet(f"/tmp/scale_pages_{cores}")
-pages = spark.read.parquet(f"/tmp/scale_pages_{cores}")
+                  shuffle_partitions=4 * cores,
+                  extra_conf={
+                      "spark.ui.showConsoleProgress": "false",
+                      # at bench scale the default 64MB advisory target makes
+                      # AQE coalesce every shuffle to ~1 partition, which
+                      # serializes reduce stages regardless of core count;
+                      # 2MB keeps task counts proportional to the data
+                      # (production at full scale keeps the 64MB default)
+                      "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+                  })
+import os
+path = f"/tmp/scale_pages_{n_urls}x{ppu}"
+if not os.path.exists(path + "/_SUCCESS"):
+    gen = web_pages(spark, n_urls=n_urls, points_per_url=ppu, seed=42)
+    gen.write.mode("overwrite").parquet(path)
+pages = spark.read.parquet(path)
 reg = registry(spark, pages, seed=42); reg.cache().count()
 
 def once():
@@ -59,7 +70,9 @@ def run(cores: int, n_urls: int, ppu: int) -> dict:
 
 
 def main():
-    n_urls, ppu = 3000, 400  # 1.2M+ raw rows
+    # big enough that parallel work dominates the sandbox's fixed per-stage
+    # overheads (~5s/job); generation is untimed and cached on disk
+    n_urls, ppu = 20000, 800  # ~16.7M raw rows
     r8 = run(8, n_urls, ppu)
     r32 = run(32, n_urls, ppu)
     speedup = r8["sec"] / r32["sec"]

@@ -347,3 +347,46 @@ def pv_energy_balance(gen: pd.Series, exp: pd.Series) -> tuple[bool, pd.Series]:
                 e[j] = g[j]
                 over += -cap
     return update, pd.Series(e, index=exp.index)
+
+
+# ---------------------------------------------------------------------------
+# Chunked partials for the exact-replay path (scale/salting support)
+# ---------------------------------------------------------------------------
+
+def rollup_sum_partials(series: pd.Series, freq_seconds: int) -> pd.DataFrame:
+    """Per-window partial (count, sum) of kept 1s-grid increments for ONE
+    chunk of a series (negative-diff rows must already be dropped upstream).
+    Mergeable across chunks: counts/sums add, the completeness gate
+    (count == freq) applies after the merge."""
+    s = series.dropna()
+    if len(s) < 2:
+        return pd.DataFrame(columns=["start", "cnt", "total"])
+    grid = s.resample("1s").mean().interpolate(method="linear")
+    inc = grid.diff()
+    inc = inc[inc >= 0]
+    freq = pd.Timedelta(seconds=freq_seconds)
+    cnt = inc.resample(freq).count()
+    total = inc.resample(freq).sum()
+    out = pd.DataFrame({"start": cnt.index, "cnt": cnt.to_numpy(), "total": total.to_numpy()})
+    return out[out["cnt"] > 0]
+
+
+def rollup_avg_partials(
+    series: pd.Series, freq_seconds: int, drop_first_grid_second: bool = False
+) -> pd.DataFrame:
+    """Per-window partial (count, sum) of 1s-grid values for one chunk.
+    ``drop_first_grid_second`` excludes the overlap point's own grid second
+    (it belongs to the previous chunk) so merged counts are exact."""
+    s = series.dropna()
+    if s.empty:
+        return pd.DataFrame(columns=["start", "cnt", "total"])
+    grid = s.resample("1s").mean().interpolate(method="linear")
+    if drop_first_grid_second and len(grid) > 0:
+        grid = grid.iloc[1:]
+    if grid.empty:
+        return pd.DataFrame(columns=["start", "cnt", "total"])
+    freq = pd.Timedelta(seconds=freq_seconds)
+    cnt = grid.resample(freq).count()
+    total = grid.resample(freq).sum()
+    out = pd.DataFrame({"start": cnt.index, "cnt": cnt.to_numpy(), "total": total.to_numpy()})
+    return out[out["cnt"] > 0]

@@ -397,3 +397,79 @@ def continuous_aggregate(
         "len_sum",
         "lang_counts",
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunked exact replay — bounded Arrow-group memory for hot series
+# ---------------------------------------------------------------------------
+
+def rollup_exact_chunked(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    agg_func: str = "SUM",  # SUM | AVG (LAST is fully native)
+    freq_seconds: int = 3600,
+    session_col: str | None = "session_id",
+    chunk_windows: int = 24,
+) -> DataFrame:
+    """Exact-replay rollup with *time-chunked* Arrow groups: the salted-key
+    analog for hot series. Group key = (key, session, chunk) where chunk =
+    floor(ts / (chunk_windows * freq)); each chunk also receives a one-point
+    overlap (the previous chunk's last row) so the 1s interpolation across
+    the boundary is identical to the unchunked replay. Kernels emit
+    per-window (count, sum) partials; a native merge re-gates completeness
+    (count == freq) after summation — bit-identical results, bounded memory:
+    a chunk's 1s grid never exceeds chunk_windows * freq seconds (+gap).
+
+    Negative-diff dropping (R1 step 1) runs as a native window op BEFORE
+    chunking, because a dropped row changes its neighbors' interpolation —
+    it must be decided globally, not per chunk.
+    """
+    from timeseries_harmonizer_spark.operators.cleaning import drop_negative_diffs
+
+    assert agg_func in ("SUM", "AVG")
+    span = chunk_windows * freq_seconds
+    keys = [key] + ([session_col] if session_col else [])
+    df = df.where(F.col(value).isNotNull()).select(*keys, ts_col, value)
+    if agg_func == "SUM":
+        df = drop_negative_diffs(df, keys, ts_col, value)
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    df = df.withColumn("__chunk", F.floor(ts_s / span))
+    w = W.partitionBy(*keys).orderBy(ts_col)
+    nxt_chunk = F.lead("__chunk").over(w)
+    # duplicate boundary rows into the next chunk as its overlap point
+    overlap = (
+        df.withColumn("__next", nxt_chunk)
+        .where(F.col("__next").isNotNull() & (F.col("__next") != F.col("__chunk")))
+        .withColumn("__chunk", F.col("__next"))
+        .withColumn("__is_overlap", F.lit(True))
+        .drop("__next")
+    )
+    tagged = df.withColumn("__is_overlap", F.lit(False)).unionByName(overlap)
+
+    kernel_drop_first = agg_func == "AVG"
+    out_schema = f"{key} string, start timestamp, cnt long, total double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        s = pd.Series(pdf[value].to_numpy(), index=pd.DatetimeIndex(pdf[ts_col]))
+        has_overlap = bool(pdf["__is_overlap"].iloc[0]) if len(pdf) else False
+        if agg_func == "SUM":
+            part = K.rollup_sum_partials(s, freq_seconds)
+        else:
+            part = K.rollup_avg_partials(
+                s, freq_seconds, drop_first_grid_second=has_overlap
+            )
+        part[key] = pdf[key].iloc[0]
+        return part[[key, "start", "cnt", "total"]]
+
+    partials = tagged.groupBy(*keys, "__chunk").applyInPandas(fn, out_schema)
+    merged = partials.groupBy(key, "start").agg(
+        F.sum("cnt").alias("__cnt"), F.sum("total").alias("__total")
+    )
+    gated = merged.where(F.col("__cnt") == freq_seconds)
+    val = (
+        F.col("__total") if agg_func == "SUM" else F.col("__total") / F.col("__cnt")
+    )
+    return gated.select(key, "start", val.alias(value))
