@@ -1064,10 +1064,11 @@ def q36(spark, sf_dir):
 
 
 # rows-only: exact-replay rollup (1s-grid interpolation is not expressible
-# in portable SQL)
+# in portable SQL). Uses the chunked variant: month-long unsessionized
+# series would otherwise materialize a 2.6M-point 1s grid per Arrow group.
 @_q("q37_rollup_exact_replay")
 def q37(spark, sf_dir):
-    from timeseries_harmonizer_spark.operators.rollup import rollup_exact
+    from timeseries_harmonizer_spark.operators.rollup import rollup_exact_chunked
 
     ev = (
         _t(spark, sf_dir, EV)
@@ -1076,12 +1077,11 @@ def q37(spark, sf_dir):
             F.col("user_id").cast("string").alias("url"),
             F.col("ts").alias("warc_ts"),
             F.col("value"),
-            F.lit("AVG").alias("agg_func"),
         )
     )
-    return rollup_exact(ev, freq_seconds=3600, session_col=None).select(
-        "url", "start", F.round("value", 5).alias("value")
-    )
+    return rollup_exact_chunked(
+        ev, agg_func="AVG", freq_seconds=3600, session_col=None, chunk_windows=6
+    ).select("url", "start", F.round("value", 5).alias("value"))
 
 
 @_q("q38_multimodal_features")
