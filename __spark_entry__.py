@@ -1084,6 +1084,106 @@ def q37(spark, sf_dir):
     ).select("url", "start", F.round("value", 5).alias("value"))
 
 
+@_q(
+    "q39_building_kpis",
+    """
+    WITH p AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         i AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         e AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+               FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT p.user_id AS building, p.day AS start,
+           round(greatest(p.v - e.v, 0.0), 2) AS self_consumption,
+           round(greatest(p.v + i.v - e.v, 0.0), 2) AS total_consumption,
+           round(p.v * 0.00009, 6) AS co2_saved,
+           round(p.v * 0.00009 * 0.0022, 9) AS tree_equivalent,
+           round(p.v / 8.76, 4) AS household_equivalent
+    FROM p JOIN i ON p.user_id = i.user_id AND p.day = i.day
+           JOIN e ON p.user_id = e.user_id AND p.day = e.day
+    """,
+)
+def q39(spark, sf_dir):
+    from timeseries_harmonizer_spark.plans.kpis import compute_kpis
+
+    ev = _t(spark, sf_dir, EV).withColumn("day", F.date_trunc("day", "ts"))
+
+    def series(et):
+        return (
+            ev.where(F.col("event_type") == et)
+            .groupBy(F.col("user_id").alias("building"), F.col("day").alias("start"))
+            .agg(F.sum("value").alias("value"))
+        )
+
+    out = compute_kpis(series("purchase"), series("view"), series("error"))
+    return out.select(
+        "building",
+        "start",
+        F.round("self_consumption", 2).alias("self_consumption"),
+        F.round("total_consumption", 2).alias("total_consumption"),
+        F.round("co2_saved", 6).alias("co2_saved"),
+        F.round("tree_equivalent", 9).alias("tree_equivalent"),
+        F.round("household_equivalent", 4).alias("household_equivalent"),
+    )
+
+
+@_q(
+    "q40_typed_value_extract",
+    """
+    WITH typed AS (
+      SELECT CASE WHEN event_type IN ('click', 'view') THEN 'analog'
+                  WHEN event_type = 'signup' THEN 'binary'
+                  WHEN event_type = 'purchase' THEN 'multiState'
+                  ELSE 'other' END AS kind,
+             CASE WHEN event_type = 'signup' THEN
+                    CASE WHEN value > 100 THEN 'active' ELSE 'inactive' END
+                  WHEN event_type = 'purchase' THEN cast(cast(floor(value) AS int) AS varchar)
+                  ELSE cast(value AS varchar) END AS raw
+      FROM events)
+    SELECT kind,
+           count(CASE WHEN
+             (CASE WHEN kind = 'analog' THEN try_cast(raw AS double)
+                   WHEN kind = 'binary' THEN
+                     CASE WHEN lower(raw) = 'active' THEN 1.0
+                          WHEN lower(raw) = 'inactive' THEN 0.0 END
+                   WHEN kind = 'multiState' THEN cast(try_cast(raw AS int) AS double)
+                   ELSE try_cast(raw AS double) END) IS NOT NULL THEN 1 END) AS n_valid,
+           round(sum(CASE WHEN kind = 'analog' THEN try_cast(raw AS double)
+                 WHEN kind = 'binary' THEN
+                   CASE WHEN lower(raw) = 'active' THEN 1.0
+                        WHEN lower(raw) = 'inactive' THEN 0.0 END
+                 WHEN kind = 'multiState' THEN cast(try_cast(raw AS int) AS double)
+                 ELSE try_cast(raw AS double) END), 2) AS sum_value
+    FROM typed GROUP BY kind
+    """,
+)
+def q40(spark, sf_dir):
+    from timeseries_harmonizer_spark.functions.extract import typed_value_extract
+
+    ev = _t(spark, sf_dir, EV).select(
+        F.when(F.col("event_type").isin("click", "view"), "analog")
+        .when(F.col("event_type") == "signup", "binary")
+        .when(F.col("event_type") == "purchase", "multiState")
+        .otherwise("other")
+        .alias("kind"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.when(F.col("value") > 100, "active").otherwise("inactive"),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.floor("value").cast("int").cast("string"),
+        )
+        .otherwise(F.col("value").cast("string"))
+        .alias("raw"),
+    )
+    out = typed_value_extract(ev)
+    return out.groupBy("kind").agg(
+        F.count("value").alias("n_valid"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 @_q("q38_multimodal_features")
 def q38(spark, sf_dir):
     from timeseries_harmonizer_spark.operators.multimodal import (
