@@ -38,3 +38,36 @@ def test_chunked_equals_unchunked(spark, pages, reg, agg):
     np.testing.assert_allclose(
         chunked["value"].to_numpy(), base["value"].to_numpy(), rtol=0, atol=1e-9
     )
+
+
+def test_hot_series_chunked(spark):
+    """Skew demonstration: one pathological hot url (50k points, one
+    session) — the chunked path splits it into bounded Arrow groups and
+    still matches the closed-form native path post-round."""
+    import pandas as pd
+    import numpy as np
+    from timeseries_harmonizer_spark.operators.rollup import rollup_native_avg
+
+    n = 50_000
+    rng = np.random.default_rng(11)
+    idx = pd.to_datetime(1704067200 + np.cumsum(rng.integers(20, 90, n)), unit="s")
+    pdf = pd.DataFrame({"url": "hot", "warc_ts": idx, "value": rng.normal(100, 3, n)})
+    df = spark.createDataFrame(pdf)
+    chunked = (
+        rollup_exact_chunked(
+            df, agg_func="AVG", freq_seconds=3600, session_col=None, chunk_windows=6
+        )
+        .toPandas()
+        .sort_values("start")
+        .reset_index(drop=True)
+    )
+    native = (
+        rollup_native_avg(df, freq_seconds=3600, session_col=None)
+        .toPandas()
+        .sort_values("start")
+        .reset_index(drop=True)
+    )
+    assert len(chunked) == len(native) > 100
+    np.testing.assert_allclose(
+        chunked["value"].to_numpy(), native["value"].to_numpy(), rtol=0, atol=1e-6
+    )
