@@ -264,7 +264,7 @@ def q08(spark, sf_dir):
            round(avg(dur), 2) AS avg_session_s, max(n) AS max_session_rows
     FROM (
       SELECT user_id, session_id,
-             epoch(max(ts)) - epoch(min(ts)) AS dur, count(*) AS n
+             floor(epoch(max(ts))) - floor(epoch(min(ts))) AS dur, count(*) AS n
       FROM sessions GROUP BY user_id, session_id)
     GROUP BY user_id
     """,
@@ -274,10 +274,12 @@ def q09(spark, sf_dir):
 
     ev = _t(spark, sf_dir, EV)
     s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+    # unix_timestamp truncates to whole seconds, matching the oracle's
+    # floor(epoch(ts)); a direct TIMESTAMP_NTZ -> DOUBLE cast is not allowed.
     per = s.groupBy("user_id", "session_id").agg(
         (
-            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
-        ).alias("dur"),
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("double").alias("dur"),
         F.count("*").alias("n"),
     )
     return per.groupBy("user_id").agg(
@@ -774,23 +776,28 @@ def q23(spark, sf_dir):
     "q24_limits_between",
     """
     WITH hourly AS (
-      SELECT user_id, date_trunc('hour', ts) AS hour, avg(value) AS v
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             floor(avg(value) * 1e6) / 1e6 AS v
       FROM events GROUP BY 1, 2),
-    lim AS (SELECT quantile_cont(v, 0.1) AS lo, quantile_cont(v, 0.9) AS hi FROM hourly)
+    lim AS (SELECT floor(quantile_cont(v, 0.1) * 1e6) / 1e6 AS lo,
+                   floor(quantile_cont(v, 0.9) * 1e6) / 1e6 AS hi FROM hourly)
     SELECT h.user_id, sum(CASE WHEN h.v BETWEEN l.lo AND l.hi THEN 1 ELSE 0 END) AS n_in,
            count(*) AS n
     FROM hourly h CROSS JOIN lim l GROUP BY h.user_id
     """,
 )
 def q24(spark, sf_dir):
+    # avg() float accumulation order varies with parallelism; floor-quantize
+    # v and the percentile bounds on BOTH sides so BETWEEN can't flip on ULPs.
+    _qz = lambda c: F.floor(c * 1e6) / 1e6
     hourly = (
         _hourly(spark, sf_dir)
         .groupBy("user_id", "hour")
-        .agg(F.avg("value").alias("v"))
+        .agg(_qz(F.avg("value")).alias("v"))
     )
     lim = hourly.agg(
-        F.percentile("v", F.lit(0.1)).alias("lo"),
-        F.percentile("v", F.lit(0.9)).alias("hi"),
+        _qz(F.percentile("v", F.lit(0.1))).alias("lo"),
+        _qz(F.percentile("v", F.lit(0.9))).alias("hi"),
     )
     return (
         hourly.crossJoin(F.broadcast(lim))  # J3: limits join
