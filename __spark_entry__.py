@@ -860,7 +860,9 @@ def q25(spark, sf_dir):
     FORMULA_GRID_SQL
     + """
     SELECT g.start,
-           round(greatest(least(round(s1.v, 5), 2000.0), 500.0), 4) AS value
+           CASE WHEN s1.v IS NULL THEN NULL
+                ELSE round(greatest(least(round(s1.v, 5), 2000.0), 500.0), 4)
+           END AS value
     FROM grid g LEFT JOIN s1 ON g.start = s1.hour
     """,
 )
@@ -1103,9 +1105,9 @@ def q37(spark, sf_dir):
     SELECT p.user_id AS building, p.day AS start,
            round(greatest(p.v - e.v, 0.0), 2) AS self_consumption,
            round(greatest(p.v + i.v - e.v, 0.0), 2) AS total_consumption,
-           round(p.v * 0.00009, 6) AS co2_saved,
-           round(p.v * 0.00009 * 0.0022, 9) AS tree_equivalent,
-           round(p.v / 8.76, 4) AS household_equivalent
+           round(greatest(p.v * 0.00012, 0.0), 6) AS co2_saved,
+           round(greatest(p.v * 0.00012 / 80.0, 0.0), 9) AS tree_equivalent,
+           floor(greatest(p.v / 4000.0, 0.0) * 1e6) / 1e6 AS household_equivalent
     FROM p JOIN i ON p.user_id = i.user_id AND p.day = i.day
            JOIN e ON p.user_id = e.user_id AND p.day = e.day
     """,
@@ -1130,7 +1132,7 @@ def q39(spark, sf_dir):
         F.round("total_consumption", 2).alias("total_consumption"),
         F.round("co2_saved", 6).alias("co2_saved"),
         F.round("tree_equivalent", 9).alias("tree_equivalent"),
-        F.round("household_equivalent", 4).alias("household_equivalent"),
+        (F.floor(F.col("household_equivalent") * 1e6) / 1e6).alias("household_equivalent"),
     )
 
 

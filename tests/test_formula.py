@@ -98,7 +98,9 @@ def test_he_hysteresis(engine, spark):
             "S": SeriesRef(_series(spark, [3] * 6), H, "AVG"),
             "W": SeriesRef(_series(spark, [4] * 6), H, "AVG"),
         },
-        he_warmup_days=0,
+        # reference __he__ evaluates [ts_end - warmup, ts_end] only; a 1-day
+        # warmup keeps the eval grid small while still covering the query
+        he_warmup_days=1,
     )
     xml = (
         "<fun><fop>HE</fop><fpar><mh>S</mh></fpar><fpar><mh>W</mh></fpar>"
@@ -143,6 +145,56 @@ def test_missing_rows_propagate_null(engine, spark):
     out = eng.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H).orderBy("start").toPandas()
     assert out["value"].notna().sum() == 2
     assert len(out) == 6
+
+
+def test_clip_null_input_stays_null(engine, spark):
+    # pandas clip keeps NaN as NaN (dropped at emit); Spark least/greatest
+    # skip NULLs, which would fabricate the bound as the value
+    sparse = _series(spark, [1.0, 10.0])  # only 2 of 6 grid hours
+    eng = FormulaEngine(spark, series={"S": SeriesRef(sparse, H, "AVG")})
+    xml = (
+        "<fun><fop>CLIP</fop>"
+        "<fpar><mv>2</mv></fpar><fpar><mv>4</mv></fpar>"
+        "<fpar><mh>S</mh></fpar></fun>"
+    )
+    out = eng.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H).orderBy("start").toPandas()
+    assert len(out) == 6
+    vals = out["value"].to_numpy()
+    assert np.allclose(vals[:2], [2.0, 4.0])
+    assert np.isnan(vals[2:]).all()
+
+
+def test_he_range_pinned_to_tail(engine, spark):
+    # HE evaluates only [ts_end - warmup, ts_end] (reference __he__): a query
+    # reaching further back yields no rows before that boundary
+    vals = [1.0] * 12
+    eng = FormulaEngine(
+        spark,
+        series={
+            "P": SeriesRef(_series(spark, vals), H, "AVG"),
+            "S": SeriesRef(_series(spark, [3.0] * 12), H, "AVG"),
+            "W": SeriesRef(_series(spark, [4.0] * 12), H, "AVG"),
+        },
+        he_warmup_days=0.25,  # 6 h warmup
+    )
+    xml = (
+        "<fun><fop>HE</fop><fpar><mh>S</mh></fpar><fpar><mh>W</mh></fpar>"
+        "<fpar><mh>P</mh></fpar></fun>"
+    )
+    out = eng.evaluate(xml, T0, T0 + pd.Timedelta(hours=11), H).orderBy("start").toPandas()
+    # ts_end - 6h = T0+5h: only slots 5..11 exist
+    assert out["start"].min() == T0 + pd.Timedelta(hours=5)
+    assert len(out) == 7
+
+
+def test_upsample_plans_no_nested_loop(engine):
+    # the slot-explode upsample must plan as an equi-join, never as a
+    # BroadcastNestedLoopJoin (O(|grid|*|src|))
+    xml = "<mh>SUMD</mh><mo>+</mo><mh>A</mh>"
+    plan = engine.evaluate(
+        xml, T0, T0 + pd.Timedelta(hours=23), H
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_order_by_dependencies():

@@ -46,8 +46,10 @@ def test_compute_kpis(spark):
     )
     assert np.allclose(out["self_consumption"], [0.0, 4.0, 0.0])  # clipped at 0
     assert np.allclose(out["total_consumption"], [0.0, 6.0, 2.0])
-    assert np.allclose(out["co2_saved"], np.array([10, 5, 0]) * 0.00009)
-    assert np.allclose(out["household_equivalent"], np.array([10, 5, 0]) / 8.76)
+    # v1 constants + v1 operations (reference launcher.py:322-347)
+    assert np.allclose(out["co2_saved"], np.array([10, 5, 0]) * 0.00012)
+    assert np.allclose(out["tree_equivalent"], np.array([10, 5, 0]) * 0.00012 / 80.0)
+    assert np.allclose(out["household_equivalent"], np.array([10, 5, 0]) / 4000.0)
 
 
 def test_get_timeseries_components():

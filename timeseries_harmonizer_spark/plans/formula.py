@@ -22,11 +22,15 @@ Semantics pinned to the reference:
   by LOCF with SUM values split evenly across covered slots
   (reference :183-190), finer->coarser downsample with the series'
   aggregation function (reference :179-182); source values round(5) first;
-- CLIP(lo, hi, x): null bounds don't clip (pandas clip skips NaN bounds);
+- CLIP(lo, hi, x): null bounds don't clip (pandas clip skips NaN bounds),
+  and a null x stays null (pandas clip keeps NaN, dropped at emit);
 - ABS(x);
 - HE(summer_max, winter_min, x): 1 below summer_max, 0 above winter_min,
   else carry previous output (LOCF), first undecided rows null; evaluated
-  with a 180-day warmup before ts_ini then trimmed (reference :119-141);
+  only over [ts_end - warmup, ts_end] exactly like the reference's __he__
+  (reference :119-141) — queries reaching further back produce no HE rows
+  before ts_end - warmup; the [ts_ini, ts_end - warmup) head is trimmed
+  implicitly because the grid starts at ts_end - warmup;
 - constants: the v2 KPIS_FACTORS (reference :40-42 — the live pipeline's
   values, not launcher.py's v1 set);
 - arithmetic on missing values propagates null; callers drop nulls at emit
@@ -136,18 +140,50 @@ class FormulaEngine:
             g = src.groupBy(win)
             fn = OPERATION_MAP[ref.agg_func]
             if fn == "sum":
+                # pandas resample().sum() yields 0.0 for empty windows inside
+                # the source span; NaN appears only outside it (grid reindex)
                 agg = g.agg(F.sum("__v").alias("value"))
+                span = src.agg(
+                    _trunc_col(F.min("__src_ts"), freq).alias("__lo"),
+                    _trunc_col(F.max("__src_ts"), freq).alias("__hi"),
+                )
+                out = grid.join(agg, "start", "left").crossJoin(F.broadcast(span))
+                return out.select(
+                    "start",
+                    F.when(
+                        F.col("start").between(F.col("__lo"), F.col("__hi")),
+                        F.coalesce(F.col("value"), F.lit(0.0)),
+                    ).otherwise(F.col("value")).alias("value"),
+                )
             elif fn == "avg":
                 agg = g.agg(F.avg("__v").alias("value"))
             else:
-                agg = g.agg(F.expr("max_by(__v, __src_ts)").alias("value"))
+                # pandas resample().last() skips NaN values
+                agg = g.agg(
+                    F.expr(
+                        "max_by(__v, __src_ts) FILTER (WHERE __v IS NOT NULL)"
+                    ).alias("value")
+                )
             return grid.join(agg, "start", "left")
         if target_s < source_s:
-            # upsample: LOCF as-of the grid (R7); SUM divides by the number
-            # of grid slots each source point covers (reference :183-190)
-            joined = grid.join(
-                src, F.col("start") >= F.col("__src_ts"), "left"
-            )
+            return self._upsample(src, ref, grid, freq)
+        # same freq: snap to grid labels
+        return grid.join(
+            src.select(_trunc_col(F.col("__src_ts"), freq).alias("start"), F.col("__v").alias("value")),
+            "start",
+            "left",
+        )
+
+    def _upsample(self, src: DataFrame, ref: SeriesRef, grid: DataFrame, freq) -> DataFrame:
+        """R7 upsample. Integer target freq: slot-explode + equi-join — each
+        source point claims the grid slots in [its ts, next point's ts),
+        clamped to the grid span, which is exactly the as-of LOCF; SUM values
+        divide by the claimed-slot count (reference :183-190). This avoids the
+        O(|grid|·|src|) BroadcastNestedLoopJoin a `start >= src_ts` range join
+        plans as. Calendar target freqs (P1W target over a P1M source — rare,
+        tiny inputs) keep the range join."""
+        if freq in ("P1M", "P1W"):
+            joined = grid.join(src, F.col("start") >= F.col("__src_ts"), "left")
             w = W.partitionBy("start").orderBy(F.col("__src_ts").desc())
             asof = (
                 joined.withColumn("__rn", F.row_number().over(w))
@@ -158,17 +194,33 @@ class FormulaEngine:
                 cnt = F.count("*").over(W.partitionBy("__src_ts"))
                 asof = asof.withColumn(
                     "__v",
-                    F.when(
-                        F.col("__src_ts").isNotNull(), F.col("__v") / cnt
-                    ).otherwise(F.col("__v")),
+                    F.when(F.col("__src_ts").isNotNull(), F.col("__v") / cnt)
+                    .otherwise(F.col("__v")),
                 )
             return asof.select("start", F.col("__v").alias("value"))
-        # same freq: snap to grid labels
-        return grid.join(
-            src.select(_trunc_col(F.col("__src_ts"), freq).alias("start"), F.col("__v").alias("value")),
-            "start",
-            "left",
+        step = int(freq)
+        t0s = F.lit(int(self._t0.timestamp()))
+        t1s = F.lit(int(self._t1.timestamp()))
+        s = F.unix_timestamp(F.col("__src_ts"))
+        nxt = F.unix_timestamp(F.lead("__src_ts").over(W.orderBy("__src_ts")))
+        # first grid slot >= source ts; last grid slot < next source ts
+        first = F.greatest(t0s + F.ceil((s - t0s) / step) * step, t0s)
+        last_sec = F.least(F.coalesce(nxt - 1, t1s), t1s)
+        last = t0s + F.floor((last_sec - t0s) / step) * step
+        e = src.select(
+            "__v", first.cast("long").alias("__f"), last.cast("long").alias("__l")
+        ).where(F.col("__f") <= F.col("__l"))
+        v = F.col("__v")
+        if ref.agg_func == "SUM":
+            v = v / ((F.col("__l") - F.col("__f")) / step + 1)
+        exploded = e.select(
+            v.alias("value"),
+            F.explode(F.sequence("__f", "__l", F.lit(step))).alias("__w"),
         )
+        aligned = exploded.select(
+            F.timestamp_seconds(F.col("__w")).alias("start"), "value"
+        )
+        return grid.join(aligned, "start", "left")
 
     # -- compile ------------------------------------------------------------
     def evaluate(self, formula_xml: str, ts_ini, ts_end, freq: int | str) -> DataFrame:
@@ -177,12 +229,16 @@ class FormulaEngine:
         has_he = any(
             fop is not None and fop.text == "HE" for fop in tree.iter("fop")
         )
+        # HE formulas evaluate only over [ts_end - warmup, ts_end], exactly
+        # like the reference's __he__ (:119-141): a shorter query gets its
+        # warmup head trimmed below; a longer one has no rows before it.
         eval_ini = (
             pd.Timestamp(ts_end) - timedelta(days=self.he_warmup_days)
             if has_he
             else pd.Timestamp(ts_ini)
         )
-        eval_ini = min(eval_ini, pd.Timestamp(ts_ini))
+        self._t0 = floor_ts(eval_ini, freq)
+        self._t1 = floor_ts(ts_end, freq)
         grid = self._grid(eval_ini, ts_end, freq)
         self._leaf_i = 0
         df, col = self._compile(tree, grid, freq)
@@ -254,8 +310,12 @@ class FormulaEngine:
             df, lo = self._compile(params[0], df, freq)
             df, hi = self._compile(params[1], df, freq)
             df, x = self._compile(params[2], df, freq)
-            # null bounds don't clip (pandas clip skips NaN bounds)
-            return df, F.greatest(F.least(x, hi), lo)
+            # null bounds don't clip (pandas clip skips NaN bounds) — that is
+            # the ONLY intended use of least/greatest's null-skipping; a null
+            # input must stay null (pandas keeps NaN, dropped at emit), so
+            # guard it or the bound would be fabricated as the value.
+            clipped = F.greatest(F.least(x, hi), lo)
+            return df, F.when(x.isNull(), F.lit(None).cast("double")).otherwise(clipped)
         if fname == "HE":
             df, summer_max = self._compile(params[0], df, freq)
             df, winter_min = self._compile(params[1], df, freq)
