@@ -51,12 +51,29 @@ def test_native_rollup_matches_oracle(spark, pages, reg, inputs_pdf, tier_name):
 
 
 def test_exact_replay_matches_oracle(spark, pages, reg, inputs_pdf):
-    """The Arrow replay path is float-identical to the oracle (same kernels,
-    distributed execution)."""
+    """The Arrow replay path (chunked: bounded group memory) matches the
+    oracle kernels; chunk-partial merging reorders float addition, so the
+    tolerance is ULP-level rather than 0."""
     tier = TIERS["1h"]
     prepared = pipeline.prepare(pages, reg, tier)
     pts = pipeline.rollup_points(prepared, tier, exact=True)
     got = pts.select("url", "start", F.round("value", 5).alias("value")).toPandas()
     pages_pdf, reg_pdf = inputs_pdf
     expected = oracle.harmonize_pages(pages_pdf, reg_pdf, tier.seconds, tier.gap_seconds)
-    _compare(got, expected, tol=0.0)
+    _compare(got, expected, tol=1e-9)
+
+
+def test_exact_path_gapless_1d_tier(spark, pages, reg, inputs_pdf):
+    """The 1d tier has gap_seconds=None (one session per url) — the exact
+    path must still run with bounded Arrow groups (time chunking) and match
+    the oracle, and LAST windows must carry a real is_real flag."""
+    tier = TIERS["1d"]
+    prepared = pipeline.prepare(pages, reg, tier)
+    pts = pipeline.rollup_points(prepared, tier, exact=True)
+    pdf = pts.select(
+        "url", "start", F.round("value", 5).alias("value"), "is_real"
+    ).toPandas()
+    pages_pdf, reg_pdf = inputs_pdf
+    expected = oracle.harmonize_pages(pages_pdf, reg_pdf, tier.seconds, tier.gap_seconds)
+    _compare(pdf[["url", "start", "value"]], expected, tol=1e-9)
+    assert pdf["is_real"].notna().all()

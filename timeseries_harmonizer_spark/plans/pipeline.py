@@ -19,7 +19,7 @@ from timeseries_harmonizer_spark.operators.cleaning import unit_convert
 from timeseries_harmonizer_spark.operators.dedup import keep_last, keep_last_sorted
 from timeseries_harmonizer_spark.operators.rollup import (
     continuous_aggregate,
-    rollup_exact,
+    rollup_exact_chunked,
     rollup_native_avg,
     rollup_native_last,
     rollup_native_sum,
@@ -74,12 +74,34 @@ def rollup_points(
 ) -> DataFrame:
     """Per-series rollup at the tier frequency, honoring each series'
     aggregation function; exact=True uses the reference-replay Arrow path,
-    else the closed-form native path (same semantics, see operators.rollup)."""
+    else the closed-form native path (same semantics, see operators.rollup).
+
+    The exact path is always *chunked* (rollup_exact_chunked): Arrow group
+    memory is bounded by chunk span even for gapless series — the 1d tier has
+    gap_seconds=None, so without chunking one hot url would materialize its
+    entire history as a single 1s grid (the reference's memory hazard at
+    lib2/__init__.py:30). SUM/AVG windows that pass the completeness gate
+    always contain real observations -> is_real=True; LAST uses the native
+    operator, which derives is_real per window (LOCF fills are False)."""
     if exact:
-        out = rollup_exact(
-            prepared, freq_seconds=tier.seconds, session_col="session_id"
+        sums = rollup_exact_chunked(
+            prepared.where(F.col("agg_func") == "SUM"),
+            agg_func="SUM",
+            freq_seconds=tier.seconds,
+            session_col="session_id",
+        ).withColumn("is_real", F.lit(True))
+        avgs = rollup_exact_chunked(
+            prepared.where(F.col("agg_func") == "AVG"),
+            agg_func="AVG",
+            freq_seconds=tier.seconds,
+            session_col="session_id",
+        ).withColumn("is_real", F.lit(True))
+        lasts = rollup_native_last(
+            prepared.where(F.col("agg_func") == "LAST"),
+            freq_seconds=tier.seconds,
+            session_col="session_id",
         )
-        return out.withColumn("is_real", F.lit(True))
+        return sums.unionByName(avgs).unionByName(lasts)
     sums = rollup_native_sum(
         prepared.where(F.col("agg_func") == "SUM"),
         freq_seconds=tier.seconds,
