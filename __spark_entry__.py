@@ -1203,6 +1203,58 @@ def q38(spark, sf_dir):
     return extract_features(synthetic_media(spark, n=64), fake_decode=True)
 
 
+@_q(
+    "q41_formula_per_user",
+    """
+    WITH s1 AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, sum(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    s2 AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, cast(count(*) AS double) AS v
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT u.user_id,
+                    unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS start
+             FROM bounds b CROSS JOIN users u)
+    SELECT g.user_id, g.start,
+           round(round(s1.v, 5) + round(s2.v, 5) * 2.0, 4) AS value
+    FROM grid g
+    LEFT JOIN s1 ON g.user_id = s1.user_id AND g.start = s1.hour
+    LEFT JOIN s2 ON g.user_id = s2.user_id AND g.start = s2.hour
+    """,
+)
+def q41(spark, sf_dir):
+    """F-family vectorized across devices: one formula template evaluated for
+    every user in a single Spark plan (FormulaEngine.evaluate_many), instead
+    of the reference's per-device driver loop."""
+    from timeseries_harmonizer_spark.plans.formula import FormulaEngine, SeriesRef
+
+    ev = _hourly(spark, sf_dir)
+    s1 = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", F.col("hour").alias("start"))
+        .agg(F.sum("value").alias("value"))
+    )
+    s2 = (
+        ev.where("event_type = 'click'")
+        .groupBy("user_id", F.col("hour").alias("start"))
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    bounds = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).first()
+    users = ev.select("user_id").distinct()
+    eng = FormulaEngine(
+        spark,
+        series={"S1": SeriesRef(s1, 3600, "SUM"), "S2": SeriesRef(s2, 3600, "SUM")},
+    )
+    xml = "<mh>S1</mh><mo>+</mo><mh>S2</mh><mo>*</mo><mv>2</mv>"
+    out = eng.evaluate_many(
+        xml, bounds[0], bounds[1], 3600, keys=["user_id"], keys_df=users
+    )
+    return out.select("user_id", "start", F.round("value", 4).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -197,6 +197,78 @@ def test_upsample_plans_no_nested_loop(engine):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_evaluate_many_matches_per_device(spark):
+    # one formula template, 120 devices, ONE Spark plan (the reference loops
+    # devices on the driver); spot devices must match single-device eval
+    n_dev = 120
+    rng = np.random.default_rng(5)
+    rows_p, rows_q = [], []
+    for d in range(n_dev):
+        name = f"dev{d:03d}"
+        for i, v in enumerate(rng.normal(10, 2, 6).round(3)):
+            rows_p.append((name, T0 + pd.Timedelta(hours=i), float(v)))
+        rows_q.append((name, T0, round(float(rng.normal(240, 10)), 3)))
+    p = spark.createDataFrame(pd.DataFrame(rows_p, columns=["device", "start", "value"]))
+    q = spark.createDataFrame(pd.DataFrame(rows_q, columns=["device", "start", "value"]))
+    eng = FormulaEngine(
+        spark, series={"P": SeriesRef(p, H, "AVG"), "Q": SeriesRef(q, 86400, "SUM")}
+    )
+    xml = "<mh>P</mh><mo>+</mo><mh>Q</mh><mo>*</mo><mv>2</mv>"
+    many = eng.evaluate_many(
+        xml, T0, T0 + pd.Timedelta(hours=5), H, keys=["device"]
+    ).toPandas()
+    assert len(many) == n_dev * 6
+    for d in ["dev000", "dev057", "dev119"]:
+        single = FormulaEngine(
+            spark,
+            series={
+                "P": SeriesRef(p.where(F.col("device") == d).drop("device"), H, "AVG"),
+                "Q": SeriesRef(q.where(F.col("device") == d).drop("device"), 86400, "SUM"),
+            },
+        )
+        s = _vals(single.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H))
+        m = (
+            many[many["device"] == d]
+            .sort_values("start")["value"]
+            .to_numpy(dtype="float64")
+        )
+        np.testing.assert_allclose(m, s, rtol=0, atol=1e-9)
+
+
+def test_evaluate_many_he_partitioned(spark):
+    # HE across devices: LOCF carry must stay within each device, and the
+    # window must be key-partitioned (no single-partition global sort)
+    pat = [1.0, 3.5, 5.0, 3.5, 2.0, 3.5]
+    rows = [
+        (dev, T0 + pd.Timedelta(hours=i), v * mult)
+        for dev, mult in [("a", 1.0), ("b", 1.0)]
+        for i, v in enumerate(pat)
+    ]
+    p = spark.createDataFrame(pd.DataFrame(rows, columns=["device", "start", "value"]))
+    s = p.select("device", "start", F.lit(3.0).alias("value"))
+    w = p.select("device", "start", F.lit(4.0).alias("value"))
+    eng = FormulaEngine(
+        spark,
+        series={
+            "P": SeriesRef(p, H, "AVG"),
+            "S": SeriesRef(s, H, "AVG"),
+            "W": SeriesRef(w, H, "AVG"),
+        },
+        he_warmup_days=1,
+    )
+    xml = (
+        "<fun><fop>HE</fop><fpar><mh>S</mh></fpar><fpar><mh>W</mh></fpar>"
+        "<fpar><mh>P</mh></fpar></fun>"
+    )
+    out = eng.evaluate_many(xml, T0, T0 + pd.Timedelta(hours=5), H, keys=["device"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(device" in plan  # HE window is key-partitioned
+    pdf = out.toPandas()
+    for dev in ["a", "b"]:
+        got = pdf[pdf["device"] == dev].sort_values("start")["value"].to_numpy()
+        assert np.allclose(got, [1, 1, 0, 0, 1, 1])
+
+
 def test_order_by_dependencies():
     formulas = {
         "X": "<mh>A</mh><mo>+</mo><mh>B</mh>",

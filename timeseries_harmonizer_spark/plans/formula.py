@@ -107,7 +107,7 @@ class FormulaEngine:
         self.he_warmup_days = he_warmup_days
 
     # -- grid ---------------------------------------------------------------
-    def _grid(self, ts_ini, ts_end, freq) -> DataFrame:
+    def _grid(self, ts_ini, ts_end, freq, keys_df: DataFrame | None = None) -> DataFrame:
         t0 = floor_ts(ts_ini, freq)
         t1 = floor_ts(ts_end, freq)
         step = (
@@ -115,7 +115,7 @@ class FormulaEngine:
             else "interval 1 week" if freq == "P1W"
             else f"interval {int(freq)} seconds"
         )
-        return self.spark.range(1).select(
+        time_grid = self.spark.range(1).select(
             F.explode(
                 F.sequence(
                     F.lit(t0.to_pydatetime()).cast("timestamp"),
@@ -124,32 +124,49 @@ class FormulaEngine:
                 )
             ).alias("start")
         )
+        if keys_df is None:
+            return time_grid
+        # one row per (device, slot): the dense grid every leaf aligns onto
+        return keys_df.crossJoin(time_grid)
 
     # -- leaf alignment (F3 / R6 / R7) ---------------------------------------
     def _align_series(self, ref: SeriesRef, grid: DataFrame, freq) -> DataFrame:
         """Align a stored series onto the grid at the target freq. Returns
-        (start, value) with exactly the grid's rows."""
+        (*keys, start, value) with exactly the grid's rows. In multi-device
+        mode (self._keys non-empty) every step below is keyed: the whole
+        device population is aligned in ONE plan — the Spark replacement for
+        the reference's per-device driver loop
+        (reference lib2/calculate_formulas.py:236-264)."""
+        ks = self._keys
         src = ref.df.select(
-            F.col("start").alias("__src_ts"), F.round(F.col("value"), 5).alias("__v")
+            *ks, F.col("start").alias("__src_ts"), F.round(F.col("value"), 5).alias("__v")
         )
+        on = ks + ["start"]
         target_s = comparable_seconds(freq)
         source_s = comparable_seconds(ref.freq)
         if target_s > source_s:
             # downsample with the series' aggregation function (R6)
             win = _trunc_col(F.col("__src_ts"), freq).alias("start")
-            g = src.groupBy(win)
+            g = src.groupBy(*ks, win)
             fn = OPERATION_MAP[ref.agg_func]
             if fn == "sum":
                 # pandas resample().sum() yields 0.0 for empty windows inside
                 # the source span; NaN appears only outside it (grid reindex)
                 agg = g.agg(F.sum("__v").alias("value"))
-                span = src.agg(
-                    _trunc_col(F.min("__src_ts"), freq).alias("__lo"),
-                    _trunc_col(F.max("__src_ts"), freq).alias("__hi"),
-                )
-                out = grid.join(agg, "start", "left").crossJoin(F.broadcast(span))
+                if ks:
+                    span = src.groupBy(*ks).agg(
+                        _trunc_col(F.min("__src_ts"), freq).alias("__lo"),
+                        _trunc_col(F.max("__src_ts"), freq).alias("__hi"),
+                    )
+                    out = grid.join(agg, on, "left").join(span, ks, "left")
+                else:
+                    span = src.agg(
+                        _trunc_col(F.min("__src_ts"), freq).alias("__lo"),
+                        _trunc_col(F.max("__src_ts"), freq).alias("__hi"),
+                    )
+                    out = grid.join(agg, on, "left").crossJoin(F.broadcast(span))
                 return out.select(
-                    "start",
+                    *on,
                     F.when(
                         F.col("start").between(F.col("__lo"), F.col("__hi")),
                         F.coalesce(F.col("value"), F.lit(0.0)),
@@ -164,13 +181,17 @@ class FormulaEngine:
                         "max_by(__v, __src_ts) FILTER (WHERE __v IS NOT NULL)"
                     ).alias("value")
                 )
-            return grid.join(agg, "start", "left")
+            return grid.join(agg, on, "left")
         if target_s < source_s:
             return self._upsample(src, ref, grid, freq)
         # same freq: snap to grid labels
         return grid.join(
-            src.select(_trunc_col(F.col("__src_ts"), freq).alias("start"), F.col("__v").alias("value")),
-            "start",
+            src.select(
+                *ks,
+                _trunc_col(F.col("__src_ts"), freq).alias("start"),
+                F.col("__v").alias("value"),
+            ),
+            on,
             "left",
         )
 
@@ -182,49 +203,97 @@ class FormulaEngine:
         O(|grid|·|src|) BroadcastNestedLoopJoin a `start >= src_ts` range join
         plans as. Calendar target freqs (P1W target over a P1M source — rare,
         tiny inputs) keep the range join."""
+        ks = self._keys
+        on = ks + ["start"]
         if freq in ("P1M", "P1W"):
-            joined = grid.join(src, F.col("start") >= F.col("__src_ts"), "left")
-            w = W.partitionBy("start").orderBy(F.col("__src_ts").desc())
+            s2 = src
+            for k in ks:
+                s2 = s2.withColumnRenamed(k, f"__sk_{k}")
+            cond = F.col("start") >= F.col("__src_ts")
+            for k in ks:
+                cond = cond & (F.col(k) == F.col(f"__sk_{k}"))
+            joined = grid.join(s2, cond, "left")
+            w = W.partitionBy(*on).orderBy(F.col("__src_ts").desc())
             asof = (
                 joined.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
                 .drop("__rn")
             )
             if ref.agg_func == "SUM":
-                cnt = F.count("*").over(W.partitionBy("__src_ts"))
+                cnt = F.count("*").over(
+                    W.partitionBy(*[f"__sk_{k}" for k in ks], "__src_ts")
+                )
                 asof = asof.withColumn(
                     "__v",
                     F.when(F.col("__src_ts").isNotNull(), F.col("__v") / cnt)
                     .otherwise(F.col("__v")),
                 )
-            return asof.select("start", F.col("__v").alias("value"))
+            return asof.select(*on, F.col("__v").alias("value"))
         step = int(freq)
         t0s = F.lit(int(self._t0.timestamp()))
         t1s = F.lit(int(self._t1.timestamp()))
         s = F.unix_timestamp(F.col("__src_ts"))
-        nxt = F.unix_timestamp(F.lead("__src_ts").over(W.orderBy("__src_ts")))
+        lead_w = (W.partitionBy(*ks) if ks else W.partitionBy()).orderBy("__src_ts")
+        nxt = F.unix_timestamp(F.lead("__src_ts").over(lead_w))
         # first grid slot >= source ts; last grid slot < next source ts
         first = F.greatest(t0s + F.ceil((s - t0s) / step) * step, t0s)
         last_sec = F.least(F.coalesce(nxt - 1, t1s), t1s)
         last = t0s + F.floor((last_sec - t0s) / step) * step
         e = src.select(
-            "__v", first.cast("long").alias("__f"), last.cast("long").alias("__l")
+            *ks, "__v", first.cast("long").alias("__f"), last.cast("long").alias("__l")
         ).where(F.col("__f") <= F.col("__l"))
         v = F.col("__v")
         if ref.agg_func == "SUM":
             v = v / ((F.col("__l") - F.col("__f")) / step + 1)
         exploded = e.select(
+            *ks,
             v.alias("value"),
             F.explode(F.sequence("__f", "__l", F.lit(step))).alias("__w"),
         )
         aligned = exploded.select(
-            F.timestamp_seconds(F.col("__w")).alias("start"), "value"
+            *ks, F.timestamp_seconds(F.col("__w")).alias("start"), "value"
         )
-        return grid.join(aligned, "start", "left")
+        return grid.join(aligned, on, "left")
 
     # -- compile ------------------------------------------------------------
     def evaluate(self, formula_xml: str, ts_ini, ts_end, freq: int | str) -> DataFrame:
-        """Compile + run; returns (start, value) over [ts_ini, ts_end]."""
+        """Compile + run for a single pre-resolved series set; returns
+        (start, value) over [ts_ini, ts_end]."""
+        return self._evaluate(formula_xml, ts_ini, ts_end, freq, [], None)
+
+    def evaluate_many(
+        self,
+        formula_xml: str,
+        ts_ini,
+        ts_end,
+        freq: int | str,
+        keys: list[str],
+        keys_df: DataFrame | None = None,
+    ) -> DataFrame:
+        """Evaluate one formula template for EVERY device in a single Spark
+        plan — the scale-out replacement for the reference's per-device loop
+        (reference lib2/calculate_formulas.py:236-264, one remote read + one
+        pandas eval per device). Each SeriesRef.df must carry the key
+        column(s); the result is (*keys, start, value). keys_df (distinct key
+        rows) defaults to the union of keys seen across referenced leaves."""
+        if not keys:
+            raise ValueError("evaluate_many requires at least one key column")
+        if keys_df is None:
+            tree = ET.fromstring(f"<root>{formula_xml}</root>")
+            leaf_names = {mh.text for mh in tree.iter("mh")}
+            if not leaf_names:
+                raise ValueError("no series leaves; pass keys_df explicitly")
+            parts = [self.series[n].df.select(*keys) for n in sorted(leaf_names)]
+            keys_df = parts[0]
+            for p in parts[1:]:
+                keys_df = keys_df.unionByName(p)
+            keys_df = keys_df.distinct()
+        return self._evaluate(formula_xml, ts_ini, ts_end, freq, list(keys), keys_df)
+
+    def _evaluate(
+        self, formula_xml: str, ts_ini, ts_end, freq, keys: list[str],
+        keys_df: DataFrame | None,
+    ) -> DataFrame:
         tree = ET.fromstring(f"<root>{formula_xml}</root>")
         has_he = any(
             fop is not None and fop.text == "HE" for fop in tree.iter("fop")
@@ -237,12 +306,13 @@ class FormulaEngine:
             if has_he
             else pd.Timestamp(ts_ini)
         )
+        self._keys = keys
         self._t0 = floor_ts(eval_ini, freq)
         self._t1 = floor_ts(ts_end, freq)
-        grid = self._grid(eval_ini, ts_end, freq)
+        grid = self._grid(eval_ini, ts_end, freq, keys_df)
         self._leaf_i = 0
         df, col = self._compile(tree, grid, freq)
-        out = df.select("start", col.cast("double").alias("value"))
+        out = df.select(*keys, "start", col.cast("double").alias("value"))
         lo = floor_ts(ts_ini, freq).to_pydatetime()
         return out.where(F.col("start") >= F.lit(lo).cast("timestamp"))
 
@@ -250,7 +320,11 @@ class FormulaEngine:
         name = f"__leaf_{self._leaf_i}"
         self._leaf_i += 1
         return (
-            df.join(aligned.withColumnRenamed("value", name), "start", "left"),
+            df.join(
+                aligned.withColumnRenamed("value", name),
+                self._keys + ["start"],
+                "left",
+            ),
             F.col(name),
         )
 
@@ -266,7 +340,7 @@ class FormulaEngine:
                 return df, F.lit(float(self.scalar_queries[node.text]))
             if tag == "mh":
                 ref = self.series[node.text]
-                grid = df.select("start").distinct()
+                grid = df.select(*self._keys, "start").distinct()
                 return self._attach_leaf(df, self._align_series(ref, grid, freq))
             raise ValueError(f"unknown leaf tag {tag!r}")
         if node.tag == "fun":
@@ -326,12 +400,17 @@ class FormulaEngine:
                 .otherwise(F.lit(None))
             )
             # carry previous output = LOCF of decided flags; rows where any
-            # input is null stay null (reference aligns on common indexes)
+            # input is null stay null (reference aligns on common indexes).
+            # In multi-device mode the window partitions by key, so the LOCF
+            # scan parallelizes across devices instead of one global sort.
             name = f"__he_{self._leaf_i}"
             self._leaf_i += 1
             df = df.withColumn(name, decided)
+            he_w = (
+                W.partitionBy(*self._keys) if self._keys else W.partitionBy()
+            ).orderBy("start")
             carried = F.last(name, ignorenulls=True).over(
-                W.orderBy("start").rowsBetween(W.unboundedPreceding, 0)
+                he_w.rowsBetween(W.unboundedPreceding, 0)
             )
             valid = x.isNotNull() & summer_max.isNotNull() & winter_min.isNotNull()
             return df, F.when(valid, carried).otherwise(F.lit(None))
