@@ -3,7 +3,16 @@
 Usage:
   spark-submit --py-files timeseries_harmonizer_spark.zip jobs/run_tier.py \
       --tier 1h --warehouse /path/wh --run-id 2024-01-07T00 \
+      [--input /path/web_pages.parquet [--registry /path/registry.parquet]
+       [--ts-end 2024-01-07T00:00:00]] \
       [--n-urls 200 --points-per-url 500] [--exact]
+
+Input: ``--input`` points at an existing ``web_pages`` parquet/table and the
+run reads only the tier's lookback window ending at ``--ts-end`` (default:
+the input's max warc_ts) — the analog of the reference's windowed store read
+(reference launcher_v2.py:50-58, ts_ini = ts_end - days_to_gather). The
+window filter is applied before any other operator, so it pushes down to the
+parquet scan. Without ``--input`` the synthetic generator is used.
 
 Stages (each manifest-checkpointed; a re-run with the same run id skips
 committed stages): points -> payloads -> compressed blobs -> retention sweep.
@@ -36,6 +45,12 @@ def main(argv=None):
     ap.add_argument("--tier", default="1h", choices=list(TIERS))
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--run-id", required=True)
+    ap.add_argument("--input", default=None,
+                    help="existing web_pages parquet/table (default: generator)")
+    ap.add_argument("--registry", default=None,
+                    help="existing registry parquet (default: derive from input)")
+    ap.add_argument("--ts-end", default=None,
+                    help="end of the lookback read window (default: max warc_ts)")
     ap.add_argument("--n-urls", type=int, default=100)
     ap.add_argument("--points-per-url", type=int, default=300)
     ap.add_argument("--seed", type=int, default=42)
@@ -49,11 +64,32 @@ def main(argv=None):
     runner = StageRunner(manifest, args.run_id, args.tier)
     tier = TIERS[args.tier]
 
-    pages = web_pages(
-        spark, n_urls=args.n_urls, points_per_url=args.points_per_url, seed=args.seed
-    )
-    reg = registry(spark, pages, seed=args.seed)
-    watermark = pages.agg(F.max("warc_ts")).first()[0]
+    if args.input:
+        pages = spark.read.parquet(args.input)
+        ts_end = (
+            pd.Timestamp(args.ts_end)
+            if args.ts_end
+            else pd.Timestamp(pages.agg(F.max("warc_ts")).first()[0])
+        )
+        # lookback window read (reference launcher_v2.py:50-58): a plain
+        # range predicate on the scan so it reaches PushedFilters
+        ts_ini = ts_end - tier.lookback
+        pages = pages.where(
+            (F.col("warc_ts") > F.lit(ts_ini.to_pydatetime()))
+            & (F.col("warc_ts") <= F.lit(ts_end.to_pydatetime()))
+        )
+        reg = (
+            spark.read.parquet(args.registry)
+            if args.registry
+            else registry(spark, pages, seed=args.seed)
+        )
+        watermark = ts_end
+    else:
+        pages = web_pages(
+            spark, n_urls=args.n_urls, points_per_url=args.points_per_url, seed=args.seed
+        )
+        reg = registry(spark, pages, seed=args.seed)
+        watermark = pages.agg(F.max("warc_ts")).first()[0]
     wm = str(watermark)
 
     prepared = pipeline.prepare(pages, reg, tier)

@@ -48,6 +48,25 @@ def test_run_tier_job_resumes(tmp_path):
     assert len(m.records()) == 4
 
 
+def test_run_tier_job_reads_input_table(tmp_path, spark, pages):
+    """--input drives the job over an on-disk web_pages table with the
+    tier's lookback window read (reference launcher_v2.py:50-58)."""
+    import json
+    import os
+
+    from jobs.run_tier import main
+
+    src = str(tmp_path / "web_pages_src")
+    pages.write.parquet(src)
+    wh = str(tmp_path / "wh")
+    main(["--tier", "1h", "--warehouse", wh, "--run-id", "r-in",
+          "--input", src, "--master", "local[2]"])
+    m = Manifest(wh + "/_manifest.json")
+    assert {x.stage for x in m.records()} == {"points", "payloads", "compress", "sweep"}
+    snaps = json.load(open(os.path.join(wh, "points_1h", "_snapshots.json")))
+    assert snaps  # points were produced from the on-disk table
+
+
 def test_sweep_downsamples_expired(spark):
     # 1m-tier points spanning 10 days; retention 7d -> first ~3d downsampled to 1h
     idx = pd.date_range("2024-01-01", periods=10 * 1440, freq="1min")
