@@ -1025,18 +1025,84 @@ def q32(spark, sf_dir):
 
 
 # rows-only checks (not ANSI-SQL-expressible with portable hashes)
-@_q("q33_minhash_lsh")
+@_q(
+    "q33_minhash_lsh",
+    # Exact all-pairs word-trigram Jaccard >= threshold. The Spark side goes
+    # through MinHash-LSH banding first (candidates only within band
+    # buckets, never O(n^2)) then verifies exactly; the oracle asserts the
+    # banded pipeline recovers exactly the true near-dup set on this data
+    # (planted dups have j >= 0.96: miss probability ~(1-0.96^4)^8 < 1e-6).
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t)-2, 1))) AS i
+            FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.3
+    """,
+)
 def q33(spark, sf_dir):
     from timeseries_harmonizer_spark.operators.docdedup import minhash_near_dups
 
     return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.3)
 
 
-@_q("q34_simhash")
+# SimHash with a portable md5-derived token hash so DuckDB can recompute the
+# exact signatures: h = little-endian lower 64 bits of md5(token), masked to
+# 63 bits (DuckDB md5_number_lower & max-bigint). The production default
+# stays xxhash64 (JVM fast path); only the hash family differs here.
+_SIMHASH_ORACLE = (
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 (md5_number_lower(tok) & 9223372036854775807)::BIGINT AS h
+          FROM toks),
+    bits AS (SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(63)
+    )
+    + """ FROM h GROUP BY doc_id)
+    SELECT doc_id, ("""
+    + " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(63))
+    + ")::BIGINT AS simhash FROM bits"
+)
+
+
+def _md5_lower64_masked(c):
+    """Spark replica of DuckDB md5_number_lower(x) & 0x7fff...: the md5
+    digest's last 8 bytes read little-endian = hex pairs 31..17 reversed."""
+    h = F.md5(c)
+    le = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+    return (
+        F.conv(le, 16, -10).cast("long").bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+    )
+
+
+@_q("q34_simhash", _SIMHASH_ORACLE)
 def q34(spark, sf_dir):
     from timeseries_harmonizer_spark.operators.docdedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(
+        _t(spark, sf_dir, "documents"), token_hash=_md5_lower64_masked
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1063,19 +1129,111 @@ def q35(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
-@_q("q36_ann_lsh")
+# Hyperplane-LSH ANN with explicit literal planes so DuckDB can recompute
+# the exact same signatures/candidates/ranks: 10 tables x 4 planes x 64 dims
+# of seeded pseudo-gaussians, embedded in both engines as identical decimal
+# literals (same parsed doubles -> same dot-product signs).
+def _ann_planes():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    return [
+        [[round(float(c), 4) for c in rng.normal(0, 1, 64)] for _ in range(4)]
+        for _ in range(10)
+    ]
+
+
+def _ann_oracle() -> str:
+    planes = _ann_planes()
+    rows = ",\n      ".join(
+        f"({t}, {p}, [{', '.join(repr(c) for c in planes[t][p])}])"
+        for t in range(10)
+        for p in range(4)
+    )
+    return f"""
+    WITH planes(tbl, p, comps) AS (VALUES
+      {rows}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+      SELECT e.vec_id, pl.tbl,
+             sum(CASE WHEN list_dot_product(e.v, pl.comps) >= 0
+                      THEN (1 << pl.p) ELSE 0 END) AS sig
+      FROM e CROSS JOIN planes pl GROUP BY 1, 2),
+    q AS (SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id IN (0,1,2,3,4)),
+    cand AS (
+      SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+      FROM sigs s JOIN q ON s.tbl = q.tbl AND s.sig = q.sig
+      WHERE s.vec_id <> q.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(ce.v, qe.v)
+               / (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qe.v, qe.v))) AS sim
+      FROM cand c JOIN e ce ON ce.vec_id = c.neighbor_id
+                  JOIN e qe ON qe.vec_id = c.query_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@_q("q36_ann_lsh", _ann_oracle())
 def q36(spark, sf_dir):
     from timeseries_harmonizer_spark.operators.similarity import lsh_topk
 
-    return lsh_topk(
-        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=10
+    out = lsh_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5,
+        n_planes=4, n_tables=10, planes=_ann_planes(),
     )
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 # rows-only: exact-replay rollup (1s-grid interpolation is not expressible
 # in portable SQL). Uses the chunked variant: month-long unsessionized
 # series would otherwise materialize a 2.6M-point 1s grid per Arrow group.
-@_q("q37_rollup_exact_replay")
+@_q(
+    "q37_rollup_exact_replay",
+    # Closed-form oracle for the 1s-interpolated AVG rollup: collapse points
+    # to 1s knots (mean on collisions), each inter-knot segment carries a
+    # constant slope, so a window's mean is exact segment-overlap arithmetic
+    # — the same derivation as rollup_native_avg, written in SQL. Windows
+    # emit iff the covered-second count equals the window width.
+    """
+    WITH pts AS (
+      SELECT cast(user_id AS varchar) AS url,
+             cast(floor(epoch(ts)) AS bigint) AS s, avg(value) AS v
+      FROM events WHERE user_id < 20 AND value IS NOT NULL GROUP BY 1, 2),
+    knots AS (
+      SELECT url, s, v,
+             lead(s) OVER (PARTITION BY url ORDER BY s) AS s2,
+             lead(v) OVER (PARTITION BY url ORDER BY s) AS v2
+      FROM pts),
+    seg AS (
+      SELECT url, s AS s1, v AS v1,
+             CASE WHEN s2 IS NOT NULL THEN (v2 - v) / (s2 - s) ELSE 0.0 END AS slope,
+             s AS a,
+             CASE WHEN s2 IS NOT NULL THEN s2 - 1 ELSE s END AS b
+      FROM knots),
+    expl AS (
+      SELECT url, s1, v1, slope, a, b,
+             unnest(generate_series(cast(floor(a / 3600) AS bigint) * 3600,
+                                    cast(floor(b / 3600) AS bigint) * 3600,
+                                    3600)) AS w
+      FROM seg),
+    contrib AS (
+      SELECT url, w,
+             least(b, w + 3599) - greatest(a, w) + 1 AS n,
+             (least(b, w + 3599) - greatest(a, w) + 1)
+               * (v1 + slope * (((greatest(a, w) + least(b, w + 3599)) / 2.0) - s1)) AS c
+      FROM expl),
+    agg AS (SELECT url, w, sum(n) AS cnt, sum(c) AS total FROM contrib GROUP BY 1, 2)
+    SELECT url, make_timestamp(w * 1000000) AS start,
+           round(total / cnt, 5) AS value
+    FROM agg WHERE cnt = 3600
+    """,
+)
 def q37(spark, sf_dir):
     from timeseries_harmonizer_spark.operators.rollup import rollup_exact_chunked
 

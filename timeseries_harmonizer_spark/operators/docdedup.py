@@ -146,12 +146,18 @@ def minhash_near_dups(
     return jaccard_on_pairs(sh, pairs, id_col).where(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
+            token_hash=None) -> DataFrame:
     """64-bit SimHash over token hashes: bit b of the signature is the sign
     of sum(+-1 per token at bit b). Pure expression: explode tokens, per-bit
-    contributions via bitwise ops, one aggregation."""
+    contributions via bitwise ops, one aggregation.
+
+    token_hash: optional Column -> Column producing the 64-bit token hash
+    (default xxhash64, the fast JVM path). Passing a portable hash (e.g. an
+    md5-derived one) makes the signature reproducible outside Spark."""
     toks = F.explode(F.split(normalized(F.col(text)), " ")).alias("tok")
-    base = df.select(F.col(id_col), toks).withColumn("h", F.xxhash64("tok"))
+    hcol = token_hash(F.col("tok")) if token_hash else F.xxhash64("tok")
+    base = df.select(F.col(id_col), toks).withColumn("h", hcol)
     def bit_mask(b: int) -> int:
         return (1 << b) if b < 63 else -(1 << 63)  # int64 sign bit
 

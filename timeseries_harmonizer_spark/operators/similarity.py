@@ -93,16 +93,39 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 11,
+    planes: list | None = None,
 ) -> DataFrame:
     """ANN top-k: n_tables independent hyperplane signatures; candidates =
     corpus vectors sharing a signature with the query in any table; exact
-    cosine + top-k on candidates only."""
+    cosine + top-k on candidates only.
+
+    planes: optional explicit hyperplanes, shape [n_tables][n_planes][dim]
+    (plain floats, embedded as literals — the signature is then reproducible
+    by any engine given the same numbers). Default: hash-derived
+    pseudo-gaussian planes (no driver-side materialization)."""
+
+    def table_sig(t: int) -> F.Column:
+        if planes is None:
+            return lsh_signature(F.col(vec_col), n_planes, dim, seed + 97 * t)
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            arr = F.array(*[F.lit(float(c)) for c in planes[t][p]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, r: x.cast("double") * r),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sig = sig + (dot >= 0).cast("long") * F.lit(1 << p)
+        return sig
+
     tables = []
     for t in range(n_tables):
-        sig = lsh_signature(F.col(vec_col), n_planes, dim, seed + 97 * t)
         tables.append(
             emb.select(
-                F.col(id_col), F.col(vec_col), F.lit(t).alias("tbl"), sig.alias("sig")
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t).alias("tbl"),
+                table_sig(t).alias("sig"),
             )
         )
     allsigs = tables[0]
