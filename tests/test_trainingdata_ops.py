@@ -147,3 +147,18 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", 4, 4, fake=False)
+
+
+def test_lsh_mega_bucket_capped(spark):
+    """Degenerate-bucket guard: 1200 identical docs share every band bucket;
+    with a cap the within-bucket self-join (~720k pairs x 8 bands) never
+    materializes — mass-identical docs are exact_dedup's job."""
+    docs = pd.DataFrame(
+        {"doc_id": range(1200), "text": ["the same exact boilerplate text here"] * 1200}
+    )
+    df = spark.createDataFrame(docs)
+    assert D.minhash_near_dups(df, threshold=0.3, max_bucket=100).count() == 0
+    assert D.simhash_near_dups(df, max_bucket=100).count() == 0
+    # uncapped control on a small subset still pairs everything up
+    sub = spark.createDataFrame(docs.head(10))
+    assert D.minhash_near_dups(sub, threshold=0.3, max_bucket=None).count() == 45

@@ -70,12 +70,14 @@ AGG_FUNCS = ("SUM", "AVG", "LAST")
 # lib/__init__.py:140).
 N_BUCKETS = 64
 
-# Hot-key salting: series whose row count exceeds this threshold within a
-# run are split into SALT_K sub-groups for partial aggregation (§4 of
-# SURVEY.md — the reference has no skew handling; a huge device just made
-# one pod slow).
-HOT_KEY_THRESHOLD = 250_000
-SALT_K = 16
+# Hot-series skew guard for the exact (Arrow) path: groups are split by
+# time into chunks of EXACT_CHUNK_WINDOWS tier windows with a one-point
+# overlap, then partial-merged (operators.rollup.rollup_exact_chunked) — a
+# deterministic salting of the group key by time. The native closed-form
+# path needs no salting: its aggregates are algebraic and combine map-side
+# (§4 of SURVEY.md — the reference has no skew handling; a huge device just
+# made one pod slow).
+EXACT_CHUNK_WINDOWS = 24
 
 # Values are rounded to 5 decimals before emit (reference
 # harmonizers/__init__.py:233).

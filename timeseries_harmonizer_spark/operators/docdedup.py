@@ -69,10 +69,20 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Band the signature (bands x rows), bucket-join within bands, distinct
-    candidate pairs (a < b). Shuffle key = (band, bucket_hash)."""
+    candidate pairs (a < b). Shuffle key = (band, bucket_hash).
+
+    max_bucket guards the within-bucket self-join against degenerate
+    mega-buckets (e.g. millions of empty/boilerplate docs sharing one
+    signature -> a quadratic candidate set): buckets above the cutoff are
+    dropped. Members of a dropped bucket are near-identical en masse and are
+    the exact-dedup operator's job; the cap is the standard LSH guard."""
     assert bands * rows_per_band <= sum(c.startswith("mh_") for c in sigs.columns)
     band_rows = []
     for b in range(bands):
@@ -87,6 +97,12 @@ def lsh_candidate_pairs(
     buckets = band_rows[0]
     for br in band_rows[1:]:
         buckets = buckets.unionByName(br)
+    if max_bucket is not None:
+        # same partitioning key as the self-join below -> one shuffle total
+        n = F.count("*").over(W.partitionBy("band", "bucket"))
+        buckets = (
+            buckets.withColumn("__n", n).where(F.col("__n") <= max_bucket).drop("__n")
+        )
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -137,12 +153,14 @@ def minhash_near_dups(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    candidate pairs -> exact Jaccard verify >= threshold."""
+    candidate pairs (mega-buckets capped) -> exact Jaccard verify >=
+    threshold."""
     sh = shingles(df, text, id_col, n)
     sigs = minhash_signatures(sh, id_col, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands, max_bucket)
     return jaccard_on_pairs(sh, pairs, id_col).where(F.col("jaccard") >= threshold)
 
 
@@ -176,11 +194,14 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_dups(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dups by SimHash: bucket on each of the four 16-bit blocks (a pair
     within hamming distance 3 must agree on at least one block), verify
-    hamming distance on candidates."""
+    hamming distance on candidates. Blocks shared by more than max_bucket
+    docs are dropped (degenerate-bucket quadratic guard, see
+    lsh_candidate_pairs)."""
     sigs = simhash(df, text, id_col)
     blocks = []
     for blk in range(4):
@@ -195,6 +216,9 @@ def simhash_near_dups(
     b = blocks[0]
     for x in blocks[1:]:
         b = b.unionByName(x)
+    if max_bucket is not None:
+        n = F.count("*").over(W.partitionBy("blk", "bucket"))
+        b = b.withColumn("__n", n).where(F.col("__n") <= max_bucket).drop("__n")
     l, r = b.alias("l"), b.alias("r")
     cands = (
         l.join(

@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from timeseries_harmonizer_spark.config import N_BUCKETS, TIERS, VALUE_ROUND, TierConfig
+from timeseries_harmonizer_spark.config import (
+    EXACT_CHUNK_WINDOWS,
+    N_BUCKETS,
+    TIERS,
+    VALUE_ROUND,
+    TierConfig,
+)
 from timeseries_harmonizer_spark.functions.extract import extract_text
 from timeseries_harmonizer_spark.operators.cleaning import unit_convert
 from timeseries_harmonizer_spark.operators.dedup import keep_last, keep_last_sorted
@@ -89,12 +95,14 @@ def rollup_points(
             agg_func="SUM",
             freq_seconds=tier.seconds,
             session_col="session_id",
+            chunk_windows=EXACT_CHUNK_WINDOWS,
         ).withColumn("is_real", F.lit(True))
         avgs = rollup_exact_chunked(
             prepared.where(F.col("agg_func") == "AVG"),
             agg_func="AVG",
             freq_seconds=tier.seconds,
             session_col="session_id",
+            chunk_windows=EXACT_CHUNK_WINDOWS,
         ).withColumn("is_real", F.lit(True))
         lasts = rollup_native_last(
             prepared.where(F.col("agg_func") == "LAST"),

@@ -9,7 +9,7 @@ hashes with *Spark expressions only*, so generation itself distributes and
 the same (seed, shape) is bit-identical at any parallelism.
 
 Injected hazards (FIXTURES.md §A):
-- Zipf-ish hot domains (exercises salted-key skew handling),
+- Zipf-ish hot domains (exercises hot-key/skew handling),
 - duplicate (url, warc_ts) rows with different payloads — scan-order last
   must win (reference keep-last dedup, harmonizers/__init__.py:350),
 - session gaps > 2h (reference gap split, harmonizers/__init__.py:363-364),
