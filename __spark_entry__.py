@@ -1413,6 +1413,33 @@ def q41(spark, sf_dir):
     return out.select("user_id", "start", F.round("value", 4).alias("value"))
 
 
+@_q(
+    "q42_monthly_downsample",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS start, sum(value) AS value
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, date_trunc('month', start) AS start,
+           round(sum(value), 4) AS value
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def q42(spark, sf_dir):
+    """R6/R9 calendar tier: daily sums downsampled onto P1M date_trunc
+    windows (the reference's '1MS' resample, lib2/calculate_formulas.py:28)."""
+    from timeseries_harmonizer_spark.operators.rollup import downsample
+
+    daily = (
+        _t(spark, sf_dir, EV)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("start"))
+        .agg(F.sum("value").alias("value"))
+    )
+    out = downsample(
+        daily, key="user_id", agg="sum", from_seconds=86400, to_seconds="P1M"
+    )
+    return out.select("user_id", "start", F.round("value", 4).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

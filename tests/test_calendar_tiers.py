@@ -1,0 +1,102 @@
+"""P1W/P1M calendar tiers: date_trunc windows in downsample / LAST rollup /
+retention sweep, pinned to the pandas calendar-resample oracle (the
+reference's '1MS' transform_freq and isodate_floor,
+lib2/calculate_formulas.py:11-31)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_harmonizer_spark.config import TIERS
+from timeseries_harmonizer_spark.operators.retention import sweep_tier
+from timeseries_harmonizer_spark.operators.rollup import downsample, rollup_native_last
+
+
+@pytest.fixture(scope="module")
+def daily(spark):
+    idx = pd.date_range("2024-01-01", periods=90, freq="1D")  # Jan 1 is a Monday
+    pdf = pd.DataFrame(
+        {"url": "u", "start": idx, "value": np.arange(90, dtype="float64")}
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+@pytest.mark.parametrize("agg,pd_agg", [("sum", "sum"), ("avg", "mean"), ("last", "last")])
+def test_downsample_to_p1m(spark, daily, agg, pd_agg):
+    pts, pdf = daily
+    got = (
+        downsample(pts, agg=agg, from_seconds=86400, to_seconds="P1M")
+        .orderBy("start")
+        .toPandas()
+    )
+    exp = pdf.set_index("start")["value"].resample("1MS").agg(pd_agg)
+    assert (pd.DatetimeIndex(got["start"]) == exp.index).all()
+    np.testing.assert_allclose(got["value"].to_numpy(), exp.to_numpy())
+
+
+def test_downsample_to_p1w(spark, daily):
+    pts, pdf = daily
+    got = (
+        downsample(pts, agg="sum", from_seconds=86400, to_seconds="P1W")
+        .orderBy("start")
+        .toPandas()
+    )
+    # Monday-floored weeks labeled by their Monday == isodate_floor P1W
+    exp = pdf.set_index("start")["value"].resample("W-MON", label="left", closed="left").sum()
+    assert (pd.DatetimeIndex(got["start"]) == exp.index).all()
+    np.testing.assert_allclose(got["value"].to_numpy(), exp.to_numpy())
+
+
+def test_rollup_last_p1m_locf(spark):
+    # sparse LAST series: Feb has no data -> LOCF from Jan, is_real False
+    pdf = pd.DataFrame(
+        {
+            "url": "u",
+            "warc_ts": pd.to_datetime(["2024-01-05", "2024-01-20", "2024-03-07"]),
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    out = (
+        rollup_native_last(spark.createDataFrame(pdf), freq_seconds="P1M")
+        .orderBy("start")
+        .toPandas()
+    )
+    exp = (
+        pdf.set_index("warc_ts")["value"].resample("1MS").last().ffill()
+    )
+    assert (pd.DatetimeIndex(out["start"]) == exp.index).all()
+    np.testing.assert_allclose(out["value"].to_numpy(), exp.to_numpy())
+    assert out["is_real"].tolist() == [True, False, True]
+
+
+def test_sweep_1d_into_p1m(spark):
+    assert TIERS["1d"].coarser == "P1M"
+    idx = pd.date_range("2023-01-01", periods=500, freq="1D")
+    pdf = pd.DataFrame(
+        {
+            "url": "u",
+            "start": idx,
+            "value": np.ones(len(idx)),
+            "agg_func": "SUM",
+        }
+    )
+    now = idx[-1]
+    coarse, retained = sweep_tier(spark.createDataFrame(pdf), "1d", now)
+    c = coarse.orderBy("start").toPandas()
+    r = retained.toPandas()
+    cutoff = now - TIERS["1d"].retention
+    assert (pd.DatetimeIndex(r["start"]) >= cutoff).all()
+    assert (c["tier"] == "P1M").all()
+    # month labels are calendar month starts, values = days swept per month
+    assert (pd.DatetimeIndex(c["start"]).day == 1).all()
+    expired = pdf[pdf["start"] < cutoff]
+    exp = expired.set_index("start")["value"].resample("1MS").sum()
+    np.testing.assert_allclose(c["value"].to_numpy(), exp.to_numpy())
+
+
+def test_run_tier_rejects_calendar(spark, pages, reg):
+    from timeseries_harmonizer_spark.plans.pipeline import run_tier
+
+    with pytest.raises(ValueError, match="calendar"):
+        run_tier(pages, reg, "P1M")

@@ -17,17 +17,31 @@ from datetime import timedelta
 
 @dataclass(frozen=True)
 class TierConfig:
-    name: str                 # "1m" | "1h" | "1d"
-    seconds: int              # tumbling window width
+    name: str                 # "1m" | "1h" | "1d" | "P1W" | "P1M"
+    seconds: int              # window width; for calendar tiers the
+                              # *comparable* width (P1W=7d, P1M=30d) used for
+                              # ordering/ratios only (reference
+                              # lib2/calculate_formulas.py:20-24)
     lookback: timedelta       # days_to_gather analog: window re-read per run
     overlap: timedelta        # head trim of each run's output (D4)
     gap_seconds: int | None   # session split threshold (R5); None = no split
     retention: timedelta | None  # sweep horizon; None = keep forever
     coarser: str | None       # tier this one downsamples into on expiry
+    calendar: str | None = None  # "week" | "month": date_trunc windows
+                                 # instead of fixed floor(ts/seconds)
 
     @property
     def interval(self) -> str:
         return f"{self.seconds} seconds"
+
+    @property
+    def freq(self) -> "int | str":
+        """The frequency operators take: seconds, or 'P1W'/'P1M'."""
+        if self.calendar == "week":
+            return "P1W"
+        if self.calendar == "month":
+            return "P1M"
+        return self.seconds
 
 
 TIERS: dict[str, TierConfig] = {
@@ -55,8 +69,34 @@ TIERS: dict[str, TierConfig] = {
         lookback=timedelta(days=60),
         overlap=timedelta(days=2),
         gap_seconds=None,
+        retention=timedelta(days=365),
+        coarser="P1M",
+    ),
+    # Calendar tiers (reference FREQ_CONFIG P1W/P1M, launcher_v2.py:26-27).
+    # The reference's raw 1s harmonization cannot express these at all
+    # (pd.Timedelta("P1M") raises); they exist as downsample targets
+    # (pandas "1MS" resample in calculations) and LAST rollups — same here:
+    # date_trunc windows in downsample / rollup_native_last / the formula
+    # engine, fed by the 1d tier.
+    "P1W": TierConfig(
+        name="P1W",
+        seconds=7 * 86400,
+        lookback=timedelta(days=60),
+        overlap=timedelta(days=0),
+        gap_seconds=None,
         retention=None,
         coarser=None,
+        calendar="week",
+    ),
+    "P1M": TierConfig(
+        name="P1M",
+        seconds=30 * 86400,
+        lookback=timedelta(days=180),
+        overlap=timedelta(days=0),
+        gap_seconds=None,
+        retention=None,
+        coarser=None,
+        calendar="month",
     ),
 }
 

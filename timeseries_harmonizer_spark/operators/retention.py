@@ -59,7 +59,7 @@ def sweep_tier(
                 key=key,
                 agg=agg,
                 from_seconds=tier.seconds,
-                to_seconds=coarse.seconds,
+                to_seconds=coarse.freq,  # 'P1W'/'P1M' -> calendar windows
             ).withColumn("tier", F.lit(coarse.name))
         )
     coarse_points = parts[0].unionByName(parts[1]).unionByName(parts[2])

@@ -33,6 +33,26 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from timeseries_harmonizer_spark.functions import series_kernels as K
 
 
+def _window_col(ts_seconds_or_col, freq: int | str, is_ts: bool = False):
+    """Tumbling-window label for fixed (floor(ts/s)*s, long seconds) or
+    calendar ('P1W'/'P1M' -> date_trunc, timestamp) frequencies. Calendar
+    floors match the reference's isodate_floor
+    (reference lib2/calculate_formulas.py:11-17)."""
+    if freq == "P1M":
+        c = ts_seconds_or_col if is_ts else F.timestamp_seconds(ts_seconds_or_col)
+        return F.date_trunc("month", c)
+    if freq == "P1W":
+        c = ts_seconds_or_col if is_ts else F.timestamp_seconds(ts_seconds_or_col)
+        return F.date_trunc("week", c)
+    s = int(freq)
+    sec = F.unix_timestamp(ts_seconds_or_col) if is_ts else ts_seconds_or_col
+    return F.floor(sec / s) * s
+
+
+def _calendar_interval(freq: str) -> str:
+    return "interval 1 month" if freq == "P1M" else "interval 1 week"
+
+
 # ---------------------------------------------------------------------------
 # Exact replay (parity path)
 # ---------------------------------------------------------------------------
@@ -201,7 +221,7 @@ def rollup_native_last(
     key: str = "url",
     ts_col: str = "warc_ts",
     value: str = "value",
-    freq_seconds: int = 3600,
+    freq_seconds: int | str = 3600,
     session_col: str | None = None,
 ) -> DataFrame:
     """R3 native: tumbling last non-null value + LOCF across the dense
@@ -209,10 +229,13 @@ def rollup_native_last(
     gap, matching the reference's per-part harmonization (reference
     harmonizers/__init__.py:379-383). Adds ``is_real`` = window had a raw
     observation (false -> LOCF-filled), the reference's isReal flag
-    (reference lib/__init__.py:157-166)."""
-    Fs = freq_seconds
+    (reference lib/__init__.py:157-166).
+
+    freq_seconds: window width in seconds, or 'P1W'/'P1M' for calendar
+    windows (date_trunc labels, interval-stepped dense grid)."""
+    calendar = isinstance(freq_seconds, str)
     sess = F.col(session_col) if session_col else F.lit(0)
-    win = (F.floor(F.unix_timestamp(F.col(ts_col)) / Fs) * Fs).alias("__w")
+    win = _window_col(F.col(ts_col), freq_seconds, is_ts=True).alias("__w")
     per_win = (
         df.select(F.col(key).alias("__k"), sess.alias("__sess"), win, ts_col, value)
         .groupBy("__k", "__sess", "__w")
@@ -224,8 +247,14 @@ def rollup_native_last(
     spans = per_win.groupBy("__k", "__sess").agg(
         F.min("__w").alias("__w0"), F.max("__w").alias("__w1")
     )
+    step = (
+        F.expr(_calendar_interval(freq_seconds))
+        if calendar
+        else F.lit(int(freq_seconds))
+    )
     grid = spans.select(
-        "__k", "__sess", F.explode(F.sequence("__w0", "__w1", F.lit(Fs))).alias("__w")
+        "__k", "__sess",
+        F.explode(F.sequence("__w0", "__w1", step)).alias("__w"),
     )
     joined = grid.join(per_win, ["__k", "__sess", "__w"], "left")
     w = (
@@ -234,9 +263,10 @@ def rollup_native_last(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = F.last("__last", ignorenulls=True).over(w)
+    start = F.col("__w") if calendar else F.timestamp_seconds(F.col("__w"))
     return joined.select(
         F.col("__k").alias(key),
-        F.timestamp_seconds(F.col("__w")).alias("start"),
+        start.alias("start"),
         filled.alias(value),
         F.coalesce(F.col("__nraw") > 0, F.lit(False)).alias("is_real"),
     )
@@ -253,13 +283,19 @@ def downsample(
     value: str = "value",
     agg: str = "sum",  # sum | avg | last
     from_seconds: int = 60,
-    to_seconds: int = 3600,
+    to_seconds: int | str = 3600,
 ) -> DataFrame:
     """R6: coarsen fine-tier points with the property's aggregation function
     (reference lib2/calculate_formulas.py:179-182). avg is carried as
-    sum+count so coarse windows weight fine windows correctly."""
-    assert to_seconds % from_seconds == 0
-    win = (F.floor(F.unix_timestamp(F.col(start_col)) / to_seconds) * to_seconds).alias("__w")
+    sum+count so coarse windows weight fine windows correctly.
+
+    to_seconds: target width in seconds, or 'P1W'/'P1M' for calendar windows
+    (date_trunc labels — the reference's '1MS' resample analog,
+    lib2/calculate_formulas.py:28-31)."""
+    calendar = isinstance(to_seconds, str)
+    if not calendar:
+        assert to_seconds % from_seconds == 0
+    win = _window_col(F.col(start_col), to_seconds, is_ts=True).alias("__w")
     g = points.select(F.col(key).alias("__k"), win, value).groupBy("__k", "__w")
     if agg == "sum":
         out = g.agg(F.sum(value).alias(value))
@@ -276,8 +312,9 @@ def downsample(
         )
     else:
         raise ValueError(agg)
+    start = F.col("__w") if calendar else F.timestamp_seconds(F.col("__w"))
     return out.select(
-        F.col("__k").alias(key), F.timestamp_seconds(F.col("__w")).alias(start_col), value
+        F.col("__k").alias(key), start.alias(start_col), value
     )
 
 

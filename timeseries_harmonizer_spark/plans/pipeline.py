@@ -170,6 +170,14 @@ def run_tier(
     dedup shuffle are the expensive part — this is the analog of the
     reference writing the cleaned series once per run)."""
     tier = TIERS[tier_name]
+    if tier.calendar:
+        raise ValueError(
+            f"tier {tier.name!r} has calendar windows: raw 1s-gated rollup is "
+            "undefined for variable-length windows (the reference's "
+            "pd.Timedelta('P1M') raises too, lib2/__init__.py:33). Calendar "
+            "tiers are fed by the retention sweep (downsample from '1d'), "
+            "rollup_native_last, or the formula engine."
+        )
     prepared = prepare(pages, registry, tier)
     if persist:
         prepared = prepared.persist()
