@@ -269,6 +269,29 @@ def test_evaluate_many_he_partitioned(spark):
         assert np.allclose(got, [1, 1, 0, 0, 1, 1])
 
 
+def test_nearest_frequency_candidate_selection(engine, spark):
+    # F3: a leaf backed by several stored frequencies picks the candidate
+    # nearest the target; empty candidates are skipped; all-empty -> NULLs
+    hourly = _series(spark, [1, 2, 3, 4, 5, 6])
+    daily = _series(spark, [240.0], freq_s=86400)
+    empty_hourly = hourly.where("1=0")
+    xml = "<mh>X</mh>"
+
+    def run(cands):
+        eng = FormulaEngine(spark, series={"X": cands})
+        return eng.evaluate(xml, T0, T0 + pd.Timedelta(hours=5), H).orderBy("start").toPandas()
+
+    # nearest (hourly) wins over daily for a 1h target
+    out = run([SeriesRef(daily, 86400, "SUM"), SeriesRef(hourly, H, "AVG")])
+    assert np.allclose(out["value"], [1, 2, 3, 4, 5, 6])
+    # nearest is empty -> falls back to the daily candidate (upsample-split)
+    out = run([SeriesRef(daily, 86400, "SUM"), SeriesRef(empty_hourly, H, "AVG")])
+    assert np.allclose(out["value"], [40.0] * 6)
+    # every candidate empty -> all-NaN leaf, grid rows preserved
+    out = run([SeriesRef(empty_hourly, H, "AVG")])
+    assert len(out) == 6 and out["value"].isna().all()
+
+
 def test_order_by_dependencies():
     formulas = {
         "X": "<mh>A</mh><mo>+</mo><mh>B</mh>",

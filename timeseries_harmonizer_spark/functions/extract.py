@@ -25,12 +25,11 @@ _EXTRACT_RE = r"<p>(.*?)</p>"
 
 @F.pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
-    """Decode UTF-8 and pull the first <p>...</p> body; NULL if absent."""
-    decoded = html.map(
-        lambda b: b.decode("utf-8", errors="replace") if b is not None else None
-    )
-    s = pd.Series(decoded, index=html.index, dtype="object")
-    return s.str.extract(_EXTRACT_RE, expand=False)
+    """Decode UTF-8 and pull the first <p>...</p> body; NULL if absent.
+    Vectorized end to end: Series.str.decode + Series.str.extract (no
+    per-row Python lambda)."""
+    decoded = html.str.decode("utf-8", errors="replace")
+    return decoded.str.extract(_EXTRACT_RE, expand=False)
 
 
 def with_extracted_text(df: DataFrame, html_col: str = "html", out_col: str = "extracted_text") -> DataFrame:

@@ -65,20 +65,40 @@ def extract_features(
 
     def fn(it):
         for pdf in it:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                img = decode_image(bytes(r.payload), r.width, r.height, fake=fake_decode)
-                means = img.reshape(-1, 3).mean(axis=0)
-                counts = np.bincount(
-                    np.frombuffer(bytes(r.payload), dtype=np.uint8), minlength=256
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    columns=["media_id", "kind", "mean_r", "mean_g", "mean_b", "byte_entropy"]
                 )
-                p = counts / max(1, counts.sum())
-                ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
-                rows.append(
-                    (r.media_id, r.kind, float(means[0]), float(means[1]), float(means[2]), round(ent, 6))
-                )
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            # byte entropy, vectorized across the whole batch: one flat
+            # buffer, per-item segment ids, a single 2-D bincount
+            lens = np.array([len(p) for p in payloads], dtype=np.int64)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+            counts = np.bincount(seg * 256 + flat, minlength=n * 256).reshape(n, 256)
+            probs = counts / np.clip(counts.sum(axis=1, keepdims=True), 1, None)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = -np.where(probs > 0, probs * np.log2(np.where(probs > 0, probs, 1.0)), 0.0).sum(axis=1)
+            # decode is the codec boundary — one library call per item (as a
+            # real image decoder would be); the per-channel means reduce each
+            # decoded array in numpy
+            means = np.stack(
+                [
+                    decode_image(p, w, h, fake=fake_decode).reshape(-1, 3).mean(axis=0)
+                    for p, w, h in zip(payloads, pdf["width"], pdf["height"])
+                ]
+            )
             yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "mean_r", "mean_g", "mean_b", "byte_entropy"]
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "byte_entropy": np.round(ent, 6),
+                }
             )
 
     return media.mapInPandas(fn, out_schema)

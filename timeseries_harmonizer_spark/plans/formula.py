@@ -91,11 +91,34 @@ def _trunc_col(c: Column, freq: int | str) -> Column:
     return F.timestamp_seconds(F.floor(F.unix_timestamp(c) / s) * s)
 
 
+def resolve_series(
+    candidates: list[SeriesRef], target_freq: int | str
+) -> SeriesRef | None:
+    """F3 — nearest-frequency candidate selection: a device may store the
+    same property at several frequencies; try them ordered by
+    |comparable_freq(candidate) - comparable_freq(target)| ascending and
+    take the first non-empty one (reference lib2/calculate_formulas.py:
+    163-176, sorted hash_list + `if tmp.empty: continue`). Returns None when
+    every candidate is empty — the reference emits an all-NaN series; the
+    engine compiles that leaf to a NULL column (same emit-time drop).
+
+    The emptiness probe is one cheap `isEmpty()` action per tried candidate
+    (LIMIT-1 plan); the reference pays a full remote read per try."""
+    ordered = sorted(
+        candidates,
+        key=lambda r: abs(comparable_seconds(r.freq) - comparable_seconds(target_freq)),
+    )
+    for ref in ordered:
+        if not ref.df.isEmpty():
+            return ref
+    return None
+
+
 class FormulaEngine:
     def __init__(
         self,
         spark: SparkSession,
-        series: dict[str, SeriesRef],
+        series: "dict[str, SeriesRef | list[SeriesRef]]",
         constants: dict[str, float] | None = None,
         scalar_queries: dict[str, float] | None = None,
         he_warmup_days: int = 180,
@@ -340,6 +363,11 @@ class FormulaEngine:
                 return df, F.lit(float(self.scalar_queries[node.text]))
             if tag == "mh":
                 ref = self.series[node.text]
+                if isinstance(ref, (list, tuple)):
+                    # F3: multiple stored frequencies for this leaf
+                    ref = resolve_series(list(ref), freq)
+                    if ref is None:  # every candidate empty -> all-NaN leaf
+                        return df, F.lit(None).cast("double")
                 grid = df.select(*self._keys, "start").distinct()
                 return self._attach_leaf(df, self._align_series(ref, grid, freq))
             raise ValueError(f"unknown leaf tag {tag!r}")
