@@ -333,6 +333,9 @@ class FormulaEngine:
         self._t0 = floor_ts(eval_ini, freq)
         self._t1 = floor_ts(ts_end, freq)
         grid = self._grid(eval_ini, ts_end, freq, keys_df)
+        # every leaf aligns onto this same static grid — reuse it instead of
+        # re-deriving it per leaf with a distinct() (one shuffle per leaf)
+        self._grid_df = grid
         self._leaf_i = 0
         df, col = self._compile(tree, grid, freq)
         out = df.select(*keys, "start", col.cast("double").alias("value"))
@@ -368,8 +371,9 @@ class FormulaEngine:
                     ref = resolve_series(list(ref), freq)
                     if ref is None:  # every candidate empty -> all-NaN leaf
                         return df, F.lit(None).cast("double")
-                grid = df.select(*self._keys, "start").distinct()
-                return self._attach_leaf(df, self._align_series(ref, grid, freq))
+                return self._attach_leaf(
+                    df, self._align_series(ref, self._grid_df, freq)
+                )
             raise ValueError(f"unknown leaf tag {tag!r}")
         if node.tag == "fun":
             return self._compile_fun(node, df, freq)
