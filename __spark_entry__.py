@@ -1440,6 +1440,28 @@ def q42(spark, sf_dir):
     return out.select("user_id", "start", F.round("value", 4).alias("value"))
 
 
+@_q(
+    "q43_cosine_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.42
+    """,
+)
+def q43(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline path; the LSH scale
+    path is pytest-pinned for recall against this one)."""
+    from timeseries_harmonizer_spark.operators.similarity import cosine_near_dups
+
+    return cosine_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.42)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -162,3 +162,29 @@ def test_lsh_mega_bucket_capped(spark):
     # uncapped control on a small subset still pairs everything up
     sub = spark.createDataFrame(docs.head(10))
     assert D.minhash_near_dups(sub, threshold=0.3, max_bucket=None).count() == 45
+
+
+def test_cosine_near_dups_exact_and_lsh(spark, emb):
+    """Exact near-dup pairs match a numpy oracle; the LSH path returns a
+    subset of the exact set (candidates verified with true cosine)."""
+    from timeseries_harmonizer_spark.operators.similarity import cosine_near_dups
+
+    tau = 0.40
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    ids = pdf["vec_id"].to_numpy()
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= tau
+    exp = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][mask], ids[iu[1]][mask])
+    }
+    got = cosine_near_dups(emb, threshold=tau).toPandas()
+    assert {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])} == exp
+    lsh = cosine_near_dups(
+        emb, threshold=tau, exact=False, n_planes=4, n_tables=12
+    ).toPandas()
+    lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert lsh_pairs <= exp  # verified candidates never exceed the true set

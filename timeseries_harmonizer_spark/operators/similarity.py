@@ -58,6 +58,79 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dups(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+    planes: list | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine(a, b) >= threshold.
+
+    exact=True — the baseline/audit path: normalize once, block self-join,
+    JVM-side dot products (O(n^2) compares; correct at any threshold, use
+    only on bounded inputs or as the verify stage).
+    exact=False — the scale path: hyperplane-LSH bucket candidates (only
+    vectors sharing a (table, signature) bucket are compared), then exact
+    cosine verification on the candidate pairs. Recall < 1 and rises with
+    n_tables; high-cosine pairs collide with probability
+    1 - (1 - (1 - theta/pi)^n_planes)^n_tables."""
+    # compute the norm once per row (a transform lambda re-evaluates its
+    # closure per element — keep the aggregate out of it)
+    normed = emb.withColumn("__n", _norm(F.col(vec_col))).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")).alias("__nv"),
+        F.col(vec_col),
+    )
+    if exact:
+        a = normed.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"))
+        b = normed.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        tables = []
+        for t in range(n_tables):
+            if planes is not None:
+                sig = F.lit(0).cast("long")
+                for p in range(n_planes):
+                    arr = F.array(*[F.lit(float(c)) for c in planes[t][p]])
+                    dot = F.aggregate(
+                        F.zip_with(F.col(vec_col), arr, lambda x, r: x.cast("double") * r),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    sig = sig + (dot >= 0).cast("long") * F.lit(1 << p)
+            else:
+                sig = lsh_signature(F.col(vec_col), n_planes, dim, seed + 97 * t)
+            tables.append(
+                normed.select(
+                    F.col(id_col), F.col("__nv"), F.lit(t).alias("tbl"), sig.alias("sig")
+                )
+            )
+        allsigs = tables[0]
+        for t in tables[1:]:
+            allsigs = allsigs.unionByName(t)
+        l = allsigs.select("tbl", "sig", F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"))
+        r = allsigs.select("tbl", "sig", F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"))
+        pairs = (
+            l.join(r, ["tbl", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+            .distinct()
+        )
+    sim = _dot(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.withColumn("cos", sim)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    )
+
+
 def _plane_sign(vec_col, plane: int, dim: int, seed: int) -> F.Column:
     """Sign of <v, r_plane> where r_plane components are deterministic
     pseudo-gaussians from hashes (sum of 3 shifted uniforms, good enough for
