@@ -153,18 +153,21 @@ class FormulaEngine:
         return keys_df.crossJoin(time_grid)
 
     # -- leaf alignment (F3 / R6 / R7) ---------------------------------------
-    def _align_series(self, ref: SeriesRef, grid: DataFrame, freq) -> DataFrame:
-        """Align a stored series onto the grid at the target freq. Returns
-        (*keys, start, value) with exactly the grid's rows. In multi-device
-        mode (self._keys non-empty) every step below is keyed: the whole
-        device population is aligned in ONE plan — the Spark replacement for
-        the reference's per-device driver loop
+    def _align_series(self, ref: SeriesRef, freq):
+        """Align a stored series to the target freq as a SPARSE
+        (*keys, start, value) frame — only the slots the source actually
+        covers — plus an optional ``post`` callback applied after the leaf is
+        left-joined onto the dense frame (SUM-downsample uses it to 0-fill
+        empty windows inside the source span). One left join per leaf; the
+        dense grid is never re-joined per leaf. In multi-device mode
+        (self._keys non-empty) every step is keyed: the whole device
+        population aligns in ONE plan — the Spark replacement for the
+        reference's per-device driver loop
         (reference lib2/calculate_formulas.py:236-264)."""
         ks = self._keys
         src = ref.df.select(
             *ks, F.col("start").alias("__src_ts"), F.round(F.col("value"), 5).alias("__v")
         )
-        on = ks + ["start"]
         target_s = comparable_seconds(freq)
         source_s = comparable_seconds(ref.freq)
         if target_s > source_s:
@@ -176,25 +179,33 @@ class FormulaEngine:
                 # pandas resample().sum() yields 0.0 for empty windows inside
                 # the source span; NaN appears only outside it (grid reindex)
                 agg = g.agg(F.sum("__v").alias("value"))
+                i = self._leaf_i
+                lo, hi = f"__lo_{i}", f"__hi_{i}"
                 if ks:
                     span = src.groupBy(*ks).agg(
-                        _trunc_col(F.min("__src_ts"), freq).alias("__lo"),
-                        _trunc_col(F.max("__src_ts"), freq).alias("__hi"),
+                        _trunc_col(F.min("__src_ts"), freq).alias(lo),
+                        _trunc_col(F.max("__src_ts"), freq).alias(hi),
                     )
-                    out = grid.join(agg, on, "left").join(span, ks, "left")
                 else:
                     span = src.agg(
-                        _trunc_col(F.min("__src_ts"), freq).alias("__lo"),
-                        _trunc_col(F.max("__src_ts"), freq).alias("__hi"),
+                        _trunc_col(F.min("__src_ts"), freq).alias(lo),
+                        _trunc_col(F.max("__src_ts"), freq).alias(hi),
                     )
-                    out = grid.join(agg, on, "left").crossJoin(F.broadcast(span))
-                return out.select(
-                    *on,
-                    F.when(
-                        F.col("start").between(F.col("__lo"), F.col("__hi")),
-                        F.coalesce(F.col("value"), F.lit(0.0)),
-                    ).otherwise(F.col("value")).alias("value"),
-                )
+
+                def post(df, col):
+                    d = (
+                        df.join(span, ks, "left")
+                        if ks
+                        else df.crossJoin(F.broadcast(span))
+                    )
+                    name = f"__leafv_{i}"
+                    filled = F.when(
+                        F.col("start").between(F.col(lo), F.col(hi)),
+                        F.coalesce(col, F.lit(0.0)),
+                    ).otherwise(col)
+                    return d.withColumn(name, filled).drop(lo, hi), F.col(name)
+
+                return agg, post
             elif fn == "avg":
                 agg = g.agg(F.avg("__v").alias("value"))
             else:
@@ -204,21 +215,20 @@ class FormulaEngine:
                         "max_by(__v, __src_ts) FILTER (WHERE __v IS NOT NULL)"
                     ).alias("value")
                 )
-            return grid.join(agg, on, "left")
+            return agg, None
         if target_s < source_s:
-            return self._upsample(src, ref, grid, freq)
+            return self._upsample(src, ref, freq)
         # same freq: snap to grid labels
-        return grid.join(
+        return (
             src.select(
                 *ks,
                 _trunc_col(F.col("__src_ts"), freq).alias("start"),
                 F.col("__v").alias("value"),
             ),
-            on,
-            "left",
+            None,
         )
 
-    def _upsample(self, src: DataFrame, ref: SeriesRef, grid: DataFrame, freq) -> DataFrame:
+    def _upsample(self, src: DataFrame, ref: SeriesRef, freq):
         """R7 upsample. Integer target freq: slot-explode + equi-join — each
         source point claims the grid slots in [its ts, next point's ts),
         clamped to the grid span, which is exactly the as-of LOCF; SUM values
@@ -229,6 +239,8 @@ class FormulaEngine:
         ks = self._keys
         on = ks + ["start"]
         if freq in ("P1M", "P1W"):
+            # calendar target: as-of over the dense grid (tiny inputs)
+            grid = self._grid_df
             s2 = src
             for k in ks:
                 s2 = s2.withColumnRenamed(k, f"__sk_{k}")
@@ -251,7 +263,7 @@ class FormulaEngine:
                     F.when(F.col("__src_ts").isNotNull(), F.col("__v") / cnt)
                     .otherwise(F.col("__v")),
                 )
-            return asof.select(*on, F.col("__v").alias("value"))
+            return asof.select(*on, F.col("__v").alias("value")), None
         step = int(freq)
         t0s = F.lit(int(self._t0.timestamp()))
         t1s = F.lit(int(self._t1.timestamp()))
@@ -276,7 +288,7 @@ class FormulaEngine:
         aligned = exploded.select(
             *ks, F.timestamp_seconds(F.col("__w")).alias("start"), "value"
         )
-        return grid.join(aligned, on, "left")
+        return aligned, None
 
     # -- compile ------------------------------------------------------------
     def evaluate(self, formula_xml: str, ts_ini, ts_end, freq: int | str) -> DataFrame:
@@ -342,17 +354,20 @@ class FormulaEngine:
         lo = floor_ts(ts_ini, freq).to_pydatetime()
         return out.where(F.col("start") >= F.lit(lo).cast("timestamp"))
 
-    def _attach_leaf(self, df: DataFrame, aligned: DataFrame) -> tuple[DataFrame, Column]:
+    def _attach_leaf(
+        self, df: DataFrame, aligned: DataFrame, post=None
+    ) -> tuple[DataFrame, Column]:
         name = f"__leaf_{self._leaf_i}"
         self._leaf_i += 1
-        return (
-            df.join(
-                aligned.withColumnRenamed("value", name),
-                self._keys + ["start"],
-                "left",
-            ),
-            F.col(name),
+        df = df.join(
+            aligned.withColumnRenamed("value", name),
+            self._keys + ["start"],
+            "left",
         )
+        col: Column = F.col(name)
+        if post is not None:
+            df, col = post(df, col)
+        return df, col
 
     def _compile(self, node: ET.Element, df: DataFrame, freq) -> tuple[DataFrame, Column]:
         children = list(node)
@@ -371,9 +386,8 @@ class FormulaEngine:
                     ref = resolve_series(list(ref), freq)
                     if ref is None:  # every candidate empty -> all-NaN leaf
                         return df, F.lit(None).cast("double")
-                return self._attach_leaf(
-                    df, self._align_series(ref, self._grid_df, freq)
-                )
+                aligned, post = self._align_series(ref, freq)
+                return self._attach_leaf(df, aligned, post)
             raise ValueError(f"unknown leaf tag {tag!r}")
         if node.tag == "fun":
             return self._compile_fun(node, df, freq)
