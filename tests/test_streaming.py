@@ -74,3 +74,25 @@ def test_incremental_trigger_appends_new_windows(spark, tmp_path):
     assert len(got) >= 1
     assert got.iloc[0]["crawl_count"] == 60
     assert got.iloc[0]["len_sum"] == 60.0
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    from timeseries_harmonizer_spark.streaming.rollup_stream import streaming_keep_last
+
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    idx = pd.date_range("2024-01-01 00:00", periods=120, freq="1min")
+    base = pd.DataFrame({"url": "u", "warc_ts": idx, "value": 1.0})
+    dups = base.head(40)  # re-sent rows (same url, same ts)
+    spark.createDataFrame(pd.concat([base, dups])).write.parquet(src)
+
+    stream = read_pages_stream(spark, src)
+    deduped = streaming_keep_last(stream, watermark="0 seconds")
+    # watermark=None: the dedup stage already set it (redefining is disallowed)
+    agg = streaming_continuous_aggregate(deduped, watermark=None)
+    run_available_now(agg, out, ckpt)
+    got = spark.read.parquet(out).toPandas().sort_values("start")
+    # duplicates removed before aggregation: each finalized hour counts 60
+    assert (got["crawl_count"] == 60).all()
+    assert (got["len_sum"] == 60.0).all()

@@ -36,13 +36,16 @@ def streaming_continuous_aggregate(
     ts_col: str = "warc_ts",
     value: str = "value",
     freq_seconds: int = 3600,
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
-    """Per-(key, tumbling window) crawl_count + value stats, watermarked."""
+    """Per-(key, tumbling window) crawl_count + value stats, watermarked.
+    Pass watermark=None when the input stream already carries one (e.g.
+    after streaming_keep_last) — Spark disallows redefining it."""
     win = F.window(F.col(ts_col), f"{freq_seconds} seconds")
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.col(key), win)
+        stream.groupBy(F.col(key), win)
         .agg(
             F.count("*").alias("crawl_count"),
             F.min(value).alias("len_min"),
@@ -59,6 +62,25 @@ def streaming_continuous_aggregate(
             "len_avg",
             "len_sum",
         )
+    )
+
+
+def streaming_keep_last(
+    stream: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming D1 analog: drop duplicate (key, ts) observations as they
+    arrive, keeping state only within the watermark
+    (dropDuplicatesWithinWatermark — bounded state, unlike a global
+    dropDuplicates). The batch pipeline's keep-last tiebreak on ingest_pos
+    becomes arrival order here: the first arrival wins and later replays of
+    the same (key, ts) inside the watermark are discarded, which is exactly
+    the reference's store-level last-write-wins idempotency under re-sends
+    (reference launcher.py:40-44 re-reads + overwrite semantics)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key, ts_col]
     )
 
 
