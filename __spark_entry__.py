@@ -1462,6 +1462,86 @@ def q43(spark, sf_dir):
     return cosine_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.42)
 
 
+@_q(
+    "q44_ivf_full_probe",
+    # full probe (nprobe == n_lists) degrades IVF to exact search, so the
+    # brute-force oracle pins the whole index path: build, assignment,
+    # probe ranking, and in-list scoring
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                          c.vec_id) AS rank
+      FROM embeddings c JOIN embeddings q
+        ON q.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def q44(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5,
+        n_lists=8, nprobe=8, iters=2,
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@_q(
+    "q45_training_data_filter",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             round(cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS double)
+                   / greatest(length(text), 1), 4) AS punct_ratio,
+             len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['the','and','of','to','a'])) AS en,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['el','la','de','que','y'])) AS es,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['der','die','und','das','ist'])) AS de
+      FROM documents),
+    kept AS (
+      SELECT * FROM d
+      WHERE greatest(en, es, de) > 0 AND en = greatest(en, es, de)
+            AND punct_ratio <= 0.1),
+    uniq AS (
+      SELECT fp, min(doc_id) AS keep_id, min(ws_tokens) AS ws_tokens
+      FROM kept GROUP BY fp)
+    SELECT (SELECT count(*) FROM kept) AS n_kept,
+           count(*) AS n_unique,
+           sum(ws_tokens) AS total_ws_tokens
+    FROM uniq
+    """,
+)
+def q45(spark, sf_dir):
+    """The composed training-data filter pipeline: lang-ID -> quality
+    filter -> exact dedup -> token accounting, all Column expressions."""
+    from timeseries_harmonizer_spark.functions.textstats import (
+        with_fingerprint,
+        with_lang_guess,
+        with_quality_score,
+        with_token_counts,
+    )
+
+    d = with_fingerprint(
+        with_lang_guess(with_quality_score(with_token_counts(_t(spark, sf_dir, "documents"))))
+    )
+    kept = d.where((F.col("lang_guess") == "en") & (F.col("punct_ratio") <= 0.1))
+    uniq = kept.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.min("ws_tokens").alias("ws_tokens")
+    )
+    n_kept = kept.count()
+    return uniq.agg(
+        F.lit(n_kept).alias("n_kept"),
+        F.count("*").alias("n_unique"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -188,3 +188,43 @@ def test_cosine_near_dups_exact_and_lsh(spark, emb):
     ).toPandas()
     lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh["id_a"], lsh["id_b"])}
     assert lsh_pairs <= exp  # verified candidates never exceed the true set
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    """Probing every inverted list degrades IVF to exact search: ids and
+    ranks must equal brute force."""
+    from timeseries_harmonizer_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    bf = (
+        brute_force_topk(emb, [0, 1, 2], k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ivf_topk(emb, [0, 1, 2], k=5, n_lists=8, nprobe=8, iters=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert bf[["query_id", "neighbor_id", "rank"]].equals(
+        ivf[["query_id", "neighbor_id", "rank"]]
+    )
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    from timeseries_harmonizer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    qids = [0, 1, 2, 3, 4]
+    bf = brute_force_topk(emb, qids, k=5).toPandas()
+    index = ivf_build(emb, n_lists=8, iters=2)
+    ivf = ivf_topk(emb, qids, k=5, n_lists=8, nprobe=3, index=index).toPandas()
+    truth = {(int(q), int(n)) for q, n in zip(bf["query_id"], bf["neighbor_id"])}
+    got = {(int(q), int(n)) for q, n in zip(ivf["query_id"], ivf["neighbor_id"])}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.4, recall
+    assert len(got) <= len(truth)  # never more than k per query

@@ -3,9 +3,16 @@
 - brute_force_topk: exact cosine top-k — the baseline. Query side is tiny
   -> broadcast; the scan side streams, dot products stay JVM-side via
   F.zip_with + F.aggregate (no UDF, codegen'd).
-- lsh_topk: random-hyperplane LSH — the scale path. Deterministic planes
+- lsh_topk: random-hyperplane LSH — a scale path. Deterministic planes
   from seeded hashes; candidates only join within a signature bucket, then
   exact cosine on the (small) candidate set. Recall tested vs brute force.
+- ivf_build / ivf_topk: IVF-partitioned ANN — the other scale path. A
+  seeded Lloyd k-means (pure DataFrame ops) partitions the corpus into
+  n_lists inverted lists; queries probe only the nprobe nearest lists.
+  nprobe == n_lists degrades gracefully to exact search (recall 1), which
+  is how the driver gate pins it; partial-probe recall is pytest-measured
+  vs brute force.
+- cosine_near_dups: embedding near-duplicate pairs (exact or LSH-bucketed).
 """
 
 from __future__ import annotations
@@ -128,6 +135,141 @@ def cosine_near_dups(
         pairs.withColumn("cos", sim)
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-partitioned ANN
+# ---------------------------------------------------------------------------
+
+def _centroid_df(spark, centroids: list[list[float]]):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "__list int, __cvec array<double>",
+    )
+
+
+def _sq_dist(vec_col, cvec_col) -> F.Column:
+    return F.aggregate(
+        F.zip_with(vec_col, cvec_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(emb: DataFrame, centroids, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    min_by over the n_lists distances per vector — the standard IVF assign
+    cost of n x n_lists distance evaluations, all JVM-side."""
+    cdf = _centroid_df(emb.sparkSession, centroids)
+    d2 = _sq_dist(F.col(vec_col), F.col("__cvec"))
+    return (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("__d2", d2)
+        .groupBy(id_col)
+        .agg(
+            F.expr("min_by(__list, __d2)").alias("__list"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+
+
+def ivf_build(
+    emb: DataFrame,
+    n_lists: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+):
+    """Build an IVF index: seeded-deterministic k-means (init = the n_lists
+    vectors with the smallest xxhash64(id, seed); `iters` Lloyd rounds of
+    assign + per-(list, position) mean via posexplode — pure DataFrame ops,
+    only the k x dim centroid matrix ever reaches the driver).
+
+    Returns (assignments DataFrame (id_col, __list), centroids)."""
+    init_rows = (
+        emb.select(
+            F.col(vec_col),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = _assign(emb, centroids, id_col, vec_col)
+        stats = (
+            assigned.select("__list", F.posexplode(F.col(vec_col)).alias("__p", "__x"))
+            .groupBy("__list", "__p")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in stats:
+            acc.setdefault(r["__list"], {})[r["__p"]] = r["__m"]
+        centroids = [
+            [acc[l][p] for p in range(dim)] if l in acc else centroids[l]
+            for l in range(n_lists)
+        ]
+    assigned = _assign(emb, centroids, id_col, vec_col)
+    return assigned.select(id_col, "__list"), centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    index=None,
+) -> DataFrame:
+    """IVF ANN top-k: rank the inverted lists by query-to-centroid distance,
+    probe only the nprobe nearest lists, exact cosine + top-k within the
+    probed candidates. nprobe == n_lists is exact search (every list
+    probed); smaller nprobe trades recall for a 1/(n_lists/nprobe) scan.
+    ``index``: optional prebuilt (assignments, centroids) from ivf_build."""
+    assignments, centroids = index if index is not None else ivf_build(
+        emb, n_lists, iters, id_col, vec_col, seed
+    )
+    cdf = _centroid_df(emb.sparkSession, centroids)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(
+        assignments.select(F.col(id_col).alias("neighbor_id"), "__list"),
+        "neighbor_id",
+    )
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("__d2", _sq_dist(F.col("qv"), F.col("__cvec")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("__list"))
+            ),
+        )
+        .where(F.col("__rk") <= nprobe)
+        .select("query_id", "qv", "__list")
+    )
+    cands = corpus.join(F.broadcast(probes), "__list").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 5).alias("sim"))
     )
 
 
