@@ -1190,8 +1190,7 @@ def q36(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
-# rows-only: exact-replay rollup (1s-grid interpolation is not expressible
-# in portable SQL). Uses the chunked variant: month-long unsessionized
+# Exact-replay rollup through the chunked variant: month-long unsessionized
 # series would otherwise materialize a 2.6M-point 1s grid per Arrow group.
 @_q(
     "q37_rollup_exact_replay",
@@ -1247,7 +1246,7 @@ def q37(spark, sf_dir):
         )
     )
     return rollup_exact_chunked(
-        ev, agg_func="AVG", freq_seconds=3600, session_col=None, chunk_windows=6
+        ev, agg_func="AVG", freq_seconds=3600, session_col=None, chunk_windows=24
     ).select("url", "start", F.round("value", 5).alias("value"))
 
 
