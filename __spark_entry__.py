@@ -1541,6 +1541,30 @@ def q45(spark, sf_dir):
     )
 
 
+@_q(
+    "q46_asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q46(spark, sf_dir):
+    """Backward as-of join as union + LOCF window (one hash exchange,
+    linear — never a BroadcastNestedLoopJoin range join); oracle is
+    DuckDB's native ASOF JOIN."""
+    from timeseries_harmonizer_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, EV)
+    p = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    c = ev.where("event_type = 'click'").select("user_id", "ts", "value")
+    out = asof_join(p, c, on="ts", by="user_id", right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value_r").alias("click_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -1,0 +1,78 @@
+"""asof_join vs pandas merge_asof, plus the no-nested-loop plan guarantee."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from timeseries_harmonizer_spark.operators.joins import asof_join
+
+
+def _fixture():
+    rng = np.random.default_rng(3)
+    lt = pd.to_datetime(1704067200 + np.sort(rng.integers(0, 50000, 200)), unit="s")
+    rt = pd.to_datetime(1704067200 + np.sort(rng.integers(-5000, 45000, 80)), unit="s")
+    left = pd.DataFrame(
+        {"key": rng.choice(["a", "b", "c"], 200), "ts": lt, "lval": np.arange(200.0)}
+    )
+    right = pd.DataFrame(
+        {"key": rng.choice(["a", "b", "c"], 80), "ts": rt, "price": rng.normal(10, 2, 80).round(3)}
+    )
+    return left, right
+
+
+def _pandas_asof(left, right, tolerance=None):
+    kw = {"tolerance": pd.Timedelta(seconds=tolerance)} if tolerance else {}
+    return (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts").rename(columns={"price": "price_r"}),
+            on="ts",
+            by="key",
+            direction="backward",
+            **kw,
+        )
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+
+
+def test_asof_join_matches_pandas(spark):
+    left, right = _fixture()
+    got = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                  on="ts", by="key", right_cols=["price"])
+        .toPandas()
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    exp = _pandas_asof(left, right)
+    assert len(got) == len(exp) == 200
+    np.testing.assert_allclose(
+        got["price_r"].to_numpy(dtype=float), exp["price_r"].to_numpy(dtype=float),
+        rtol=0, atol=0, equal_nan=True,
+    )
+
+
+def test_asof_join_tolerance(spark):
+    left, right = _fixture()
+    got = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                  on="ts", by="key", right_cols=["price"], tolerance_seconds=600)
+        .toPandas()
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    exp = _pandas_asof(left, right, tolerance=600)
+    np.testing.assert_allclose(
+        got["price_r"].to_numpy(dtype=float), exp["price_r"].to_numpy(dtype=float),
+        rtol=0, atol=0, equal_nan=True,
+    )
+
+
+def test_asof_join_plans_no_nested_loop(spark):
+    left, right = _fixture()
+    q = asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                  on="ts", by="key", right_cols=["price"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

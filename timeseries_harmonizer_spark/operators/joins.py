@@ -1,0 +1,72 @@
+"""Time-series join operators Spark lacks natively.
+
+asof_join — for every left row, attach the most recent right row with
+right.ts <= left.ts within the same key (optionally within a staleness
+tolerance). The classic backward as-of join (pandas merge_asof, DuckDB
+ASOF JOIN; the reference does this implicitly whenever it aligns a
+measurement to the latest stored value, e.g. the formula engine's ffill
+alignment, reference lib2/calculate_formulas.py:183-190).
+
+Spark-first plan: NO range join (a `l.ts >= r.ts` condition plans as a
+BroadcastNestedLoopJoin, O(|L|x|R|)). Instead: tag both sides, union, and
+LOCF the right side's payload over one (key, ts) sort — a single hash
+exchange + window, linear in |L|+|R|, partitioned by key so it scales out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | str = "key",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join. Returns every left row plus, for each of
+    ``right_cols``, the value from the latest right row with
+    ``right.on <= left.on`` in the same ``by`` group (NULL if none, or if
+    it is older than ``tolerance_seconds``). Right rows at the exact same
+    timestamp count as matches (pandas merge_asof default)."""
+    by = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(by) | {on}]
+    tagged_r = right.select(
+        *by,
+        F.col(on).alias(on),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    ).withColumn("__is_left", F.lit(0))
+    tagged_l = left.withColumn("__is_left", F.lit(1))
+    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts, so an equal-ts right row
+    # is visible to the left row's LOCF frame
+    w = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = {c: F.last(f"__r_{c}", ignorenulls=True).over(w) for c in right_cols}
+    carried_ts = F.last(
+        F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True
+    ).over(w)
+    out = u
+    fresh = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (
+            F.unix_timestamp(F.col(on)) - F.unix_timestamp(carried_ts)
+            <= F.lit(tolerance_seconds)
+        )
+    )
+    for c in right_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(fresh, carried[c]).otherwise(F.lit(None)),
+        )
+    return out.where(F.col("__is_left") == 1).drop(
+        "__is_left", *[f"__r_{c}" for c in right_cols]
+    )
