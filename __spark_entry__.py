@@ -1565,6 +1565,50 @@ def q46(spark, sf_dir):
     )
 
 
+@_q(
+    "q47_interval_join",
+    """
+    WITH iv AS (
+      SELECT user_id, min(ts) AS start,
+             min(ts) + INTERVAL 2 HOUR AS "end",
+             date_trunc('day', min(ts)) AS day
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('day', ts)),
+    clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT iv.user_id, iv.start, count(c.ts) AS n_clicks
+    FROM iv LEFT JOIN clicks c
+      ON c.user_id = iv.user_id AND c.ts BETWEEN iv.start AND iv."end"
+    GROUP BY iv.user_id, iv.start
+    """,
+)
+def q47(spark, sf_dir):
+    """Range/interval join as bucketed equi-join + residual BETWEEN (never
+    a nested-loop range join): clicks inside the 2h window after each
+    user-day's first purchase."""
+    from timeseries_harmonizer_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, EV)
+    iv = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    clicks = ev.where("event_type = 'click'").select("user_id", F.col("ts").alias("cts"))
+    j = interval_join(
+        clicks, iv, point_ts="cts", by="user_id", bucket_seconds=7200
+    )
+    matched = j.groupBy("user_id", "start").agg(F.count("*").alias("n_clicks"))
+    # LEFT semantics: intervals with zero clicks keep a 0 count
+    return (
+        iv.select("user_id", "start")
+        .join(matched, ["user_id", "start"], "left")
+        .select(
+            "user_id", "start", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -76,3 +76,64 @@ def test_asof_join_plans_no_nested_loop(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_matches_naive(spark):
+    from timeseries_harmonizer_spark.operators.joins import interval_join
+
+    rng = np.random.default_rng(9)
+    pts = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b"], 300),
+            "ts": pd.to_datetime(1704067200 + rng.integers(0, 200000, 300), unit="s"),
+            "pval": np.arange(300),
+        }
+    )
+    s = 1704067200 + np.sort(rng.integers(0, 180000, 40))
+    iv = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b"], 40),
+            "start": pd.to_datetime(s, unit="s"),
+            "end": pd.to_datetime(s + rng.integers(600, 20000, 40), unit="s"),
+            "iv_id": np.arange(40),
+        }
+    )
+    got = (
+        interval_join(
+            spark.createDataFrame(pts), spark.createDataFrame(iv),
+            by="key", bucket_seconds=3600,
+        )
+        .select("pval", "iv_id")
+        .toPandas()
+    )
+    # naive pandas cross-filter oracle
+    m = pts.merge(iv, on="key")
+    exp = m[(m["ts"] >= m["start"]) & (m["ts"] <= m["end"])][["pval", "iv_id"]]
+    g = set(map(tuple, got.to_numpy().tolist()))
+    e = set(map(tuple, exp.to_numpy().tolist()))
+    assert g == e and len(got) == len(exp)  # pair set identical, no dup rows
+
+
+def test_interval_join_plans_no_nested_loop(spark):
+    from timeseries_harmonizer_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"key": ["a"], "ts": [pd.Timestamp("2024-01-01")]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a"],
+                "start": [pd.Timestamp("2024-01-01")],
+                "end": [pd.Timestamp("2024-01-02")],
+            }
+        )
+    )
+    plan = (
+        interval_join(pts, iv, by="key")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -18,6 +18,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: list[str] | str | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join: every (point, interval) pair with
+    ``start <= point_ts <= end`` (and equal ``by`` keys).
+
+    Spark-first plan: a raw ``ts BETWEEN start AND end`` condition plans as
+    a BroadcastNestedLoopJoin, O(|P|x|I|). Instead each interval explodes
+    into the coarse time buckets it overlaps, each point carries its single
+    bucket, and the join is a plain equi-join on (by..., bucket) with the
+    BETWEEN as a residual filter. Each qualifying pair matches in exactly
+    one bucket (the point's), so no dedup is needed. Candidate blow-up is
+    interval_length / bucket_seconds — pick bucket_seconds near the typical
+    interval length."""
+    by = [] if by is None else [by] if isinstance(by, str) else list(by)
+    B = int(bucket_seconds)
+    pts = points.withColumn(
+        "__b", F.floor(F.unix_timestamp(F.col(point_ts)) / B)
+    )
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / B),
+                F.floor(F.unix_timestamp(F.col(end_col)) / B),
+            )
+        ),
+    )
+    joined = pts.join(iv, by + ["__b"]).where(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("__b")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
