@@ -781,7 +781,10 @@ def q23(spark, sf_dir):
       FROM events GROUP BY 1, 2),
     lim AS (SELECT floor(quantile_cont(v, 0.1) * 1e6) / 1e6 AS lo,
                    floor(quantile_cont(v, 0.9) * 1e6) / 1e6 AS hi FROM hourly)
-    SELECT h.user_id, sum(CASE WHEN h.v BETWEEN l.lo AND l.hi THEN 1 ELSE 0 END) AS n_in,
+    -- CAST: DuckDB sum(INTEGER) returns HUGEINT (-> float64 in pandas) while
+    -- Spark returns int64; the driver hash is dtype-sensitive.
+    SELECT h.user_id,
+           CAST(sum(CASE WHEN h.v BETWEEN l.lo AND l.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
            count(*) AS n
     FROM hourly h CROSS JOIN lim l GROUP BY h.user_id
     """,
@@ -995,9 +998,21 @@ def q31(spark, sf_dir):
                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
       FROM documents WHERE doc_id < 150),
     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    -- candidate generation skips tokens present in > 1000 docs (toks is
+    -- already distinct per doc, so count(*) per tok = document frequency);
+    -- the Spark side applies the identical cap (shared_token_pairs), so
+    -- both engines compute the same candidate set by construction. At this
+    -- 150-doc gate scale the cap excludes nothing; at corpus scale it
+    -- bounds the self-join against universal tokens.
+    rare AS (SELECT doc_id, tok FROM toks
+             QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
       GROUP BY 1, 2)
     SELECT c.id_a, c.id_b,
            round(cast(c.c AS double) / (sa.sz + sb.sz - c.c), 6) AS jaccard
@@ -1007,20 +1022,18 @@ def q31(spark, sf_dir):
     """,
 )
 def q32(spark, sf_dir):
-    from timeseries_harmonizer_spark.operators.docdedup import jaccard_on_pairs, shingles
+    from timeseries_harmonizer_spark.operators.docdedup import (
+        jaccard_on_pairs,
+        shared_token_pairs,
+        shingles,
+    )
 
     docs = _t(spark, sf_dir, "documents").where("doc_id < 150")
     sh = shingles(docs, n=1)
-    # candidate pairs = pairs sharing any token (0-overlap pairs can't pass
-    # the threshold anyway)
-    a = sh.withColumnRenamed("doc_id", "id_a")
-    b = sh.withColumnRenamed("doc_id", "id_b")
-    pairs = (
-        a.join(b, ["shingle"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # shared_token_pairs caps per-token candidate fan-out at df <= 1000
+    # (the inverted-index twin of LSH max_bucket) so a universal token can't
+    # make the self-join quadratic; exact Jaccard verifies candidates.
+    pairs = shared_token_pairs(sh, max_token_df=1000)
     return jaccard_on_pairs(sh, pairs).where(F.col("jaccard") >= 0.6)
 
 
@@ -1030,8 +1043,11 @@ def q32(spark, sf_dir):
     # Exact all-pairs word-trigram Jaccard >= threshold. The Spark side goes
     # through MinHash-LSH banding first (candidates only within band
     # buckets, never O(n^2)) then verifies exactly; the oracle asserts the
-    # banded pipeline recovers exactly the true near-dup set on this data
-    # (planted dups have j >= 0.96: miss probability ~(1-0.96^4)^8 < 1e-6).
+    # banded pipeline recovers exactly the true near-dup set. Threshold 0.9
+    # with bands=16, r=2: miss probability at the boundary is
+    # (1-0.9^2)^16 ~ 4e-12, so recall 1 holds for ANY pair at or above the
+    # threshold (not just the planted >=0.96 dups) — no marginal band where
+    # regenerated data could break the gate nondeterministically.
     r"""
     WITH toks AS (
       SELECT doc_id,
@@ -1052,13 +1068,13 @@ def q32(spark, sf_dir):
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.3
+    WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.9
     """,
 )
 def q33(spark, sf_dir):
     from timeseries_harmonizer_spark.operators.docdedup import minhash_near_dups
 
-    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.9, bands=16)
 
 
 # SimHash with a portable md5-derived token hash so DuckDB can recompute the
@@ -1512,7 +1528,7 @@ def q44(spark, sf_dir):
       FROM kept GROUP BY fp)
     SELECT (SELECT count(*) FROM kept) AS n_kept,
            count(*) AS n_unique,
-           sum(ws_tokens) AS total_ws_tokens
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens
     FROM uniq
     """,
 )
@@ -1530,12 +1546,13 @@ def q45(spark, sf_dir):
         with_lang_guess(with_quality_score(with_token_counts(_t(spark, sf_dir, "documents"))))
     )
     kept = d.where((F.col("lang_guess") == "en") & (F.col("punct_ratio") <= 0.1))
-    uniq = kept.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("keep_id"), F.min("ws_tokens").alias("ws_tokens")
+    # One plan, no driver-side action: roll kept-count and unique stats up in
+    # a single two-level aggregate (per-fingerprint partials, then totals).
+    per_fp = kept.groupBy("fingerprint").agg(
+        F.count("*").alias("fp_rows"), F.min("ws_tokens").alias("ws_tokens")
     )
-    n_kept = kept.count()
-    return uniq.agg(
-        F.lit(n_kept).alias("n_kept"),
+    return per_fp.agg(
+        F.sum("fp_rows").alias("n_kept"),
         F.count("*").alias("n_unique"),
         F.sum("ws_tokens").alias("total_ws_tokens"),
     )

@@ -23,6 +23,23 @@ TABLES = [
 ]
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class BEFORE normalization. The driver's value hash is
+    type-sensitive: DuckDB HUGEINT sums land in pandas as float64 while
+    Spark BIGINT lands as int64, so an int-vs-float disagreement passes a
+    values-only compare locally but hash-fails at the driver. This class
+    check is what catches it (shipped broken twice before round 3)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -37,11 +54,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
-def compare(name, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+def compare(name, a: pd.DataFrame, b: pd.DataFrame,
+            a_classes: dict | None = None, b_classes: dict | None = None) -> list[str]:
     problems = []
     if list(a.columns) != list(b.columns):
         problems.append(f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
         return problems
+    if a_classes and b_classes:
+        for c in a.columns:
+            if a_classes.get(c) != b_classes.get(c):
+                problems.append(
+                    f"{c}: dtype class differs (spark={a_classes.get(c)} "
+                    f"oracle={b_classes.get(c)}) — driver hash WILL fail even if values match"
+                )
     if len(a) != len(b):
         problems.append(f"row count: spark={len(a)} oracle={len(b)}")
         return problems
@@ -93,7 +118,9 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
             failures[name] = [f"DUCKDB ERROR: {str(e)[:300]}"]
             print(f"{name}: DUCKDB ERROR {str(e)[:200]}")
             continue
-        problems = compare(name, normalize(got), normalize(exp))
+        got_classes = {c: dtype_class(got[c]) for c in got.columns}
+        exp_classes = {c: dtype_class(exp[c]) for c in exp.columns}
+        problems = compare(name, normalize(got), normalize(exp), got_classes, exp_classes)
         status = "OK" if not problems else "MISMATCH"
         print(f"{name}: {status} ({len(got)} rows) [{time.time()-t0:.1f}s]")
         for p in problems:

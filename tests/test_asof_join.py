@@ -69,6 +69,58 @@ def test_asof_join_tolerance(spark):
     )
 
 
+def test_asof_join_null_payload_is_atomic(spark):
+    """The carried right row is atomic: when the LATEST right row has a NULL
+    payload column, the output is NULL (merge_asof/DuckDB ASOF semantics) —
+    never a stale value LOCF'd from an older right row — and multiple
+    right_cols always come from the same right row."""
+    ts = lambda s: pd.Timestamp(s)
+    right = pd.DataFrame(
+        {
+            "key": ["a", "a"],
+            "ts": [ts("2024-01-01 00:00:10"), ts("2024-01-01 00:00:20")],
+            "price": [1.0, np.nan],
+            "qty": [100.0, 200.0],
+        }
+    )
+    left = pd.DataFrame(
+        {
+            "key": ["a", "a"],
+            "ts": [ts("2024-01-01 00:00:15"), ts("2024-01-01 00:00:25")],
+        }
+    )
+    got = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                  on="ts", by="key", right_cols=["price", "qty"])
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # ts=15 matches the ts=10 row wholesale; ts=25 matches the ts=20 row
+    # wholesale, whose price is NULL — a per-column LOCF would wrongly give 1.0
+    assert got.loc[0, "price_r"] == 1.0 and got.loc[0, "qty_r"] == 100.0
+    assert pd.isna(got.loc[1, "price_r"]) and got.loc[1, "qty_r"] == 200.0
+    # and the tolerance verdict uses the same carried row's ts: with left at
+    # 12s and 28s (gaps 2s and 8s to their matched rows), tolerance 5s keeps
+    # the first match and voids the second entirely
+    left2 = pd.DataFrame(
+        {
+            "key": ["a", "a"],
+            "ts": [ts("2024-01-01 00:00:12"), ts("2024-01-01 00:00:28")],
+        }
+    )
+    got_tol = (
+        asof_join(spark.createDataFrame(left2), spark.createDataFrame(right),
+                  on="ts", by="key", right_cols=["price", "qty"],
+                  tolerance_seconds=5)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert got_tol.loc[0, "price_r"] == 1.0 and got_tol.loc[0, "qty_r"] == 100.0
+    assert pd.isna(got_tol.loc[1, "price_r"]) and pd.isna(got_tol.loc[1, "qty_r"])
+
+
 def test_asof_join_plans_no_nested_loop(spark):
     left, right = _fixture()
     q = asof_join(spark.createDataFrame(left), spark.createDataFrame(right),

@@ -85,7 +85,9 @@ def test_sweep_1d_into_p1m(spark):
     coarse, retained = sweep_tier(spark.createDataFrame(pdf), "1d", now)
     c = coarse.orderBy("start").toPandas()
     r = retained.toPandas()
-    cutoff = now - TIERS["1d"].retention
+    # the raw now-365d cutoff is never month-aligned; the sweep floors it to
+    # the month start so only COMPLETE months are swept
+    cutoff = (now - TIERS["1d"].retention).normalize().replace(day=1)
     assert (pd.DatetimeIndex(r["start"]) >= cutoff).all()
     assert (c["tier"] == "P1M").all()
     # month labels are calendar month starts, values = days swept per month
@@ -93,6 +95,34 @@ def test_sweep_1d_into_p1m(spark):
     expired = pdf[pdf["start"] < cutoff]
     exp = expired.set_index("start")["value"].resample("1MS").sum()
     np.testing.assert_allclose(c["value"].to_numpy(), exp.to_numpy())
+    # every swept month is complete: daily 1.0 values sum to the month length
+    days = pd.DatetimeIndex(c["start"]).days_in_month
+    np.testing.assert_allclose(c["value"].to_numpy(), days.to_numpy())
+
+
+def test_sweep_never_reemits_partial_months(spark):
+    """Successive sweeps as `now` advances must never emit the same
+    (url, month) twice with different partial values — with a month-floored
+    cutoff each month is swept exactly once, as a complete window, so the
+    last-write-wins read dedup can never drop data."""
+    idx = pd.date_range("2023-01-01", periods=460, freq="1D")
+    pdf = pd.DataFrame(
+        {"url": "u", "start": idx, "value": np.ones(len(idx)), "agg_func": "SUM"}
+    )
+    pts = spark.createDataFrame(pdf)
+    seen: dict[pd.Timestamp, float] = {}
+    # advance now in 10-day steps; re-feed the retained fine rows each time
+    # (expired rows leave the fine tier, as in the real sweep job)
+    for step in range(0, 90, 10):
+        now = idx[-1] + pd.Timedelta(days=step)
+        coarse, retained = sweep_tier(pts, "1d", now)
+        c = coarse.toPandas()
+        for s, v in zip(pd.DatetimeIndex(c["start"]), c["value"]):
+            assert s not in seen, f"month {s} swept twice ({seen[s]} then {v})"
+            assert v == s.days_in_month, f"partial month {s}: {v}"
+            seen[s] = v
+        pts = retained
+    assert len(seen) >= 2  # the advancing horizon actually swept new months
 
 
 def test_run_tier_rejects_calendar(spark, pages, reg):

@@ -81,11 +81,13 @@ def test_sweep_downsamples_expired(spark):
     coarse, retained = sweep_tier(pts, "1m", now)
     c = coarse.orderBy("start").toPandas()
     r = retained.toPandas()
-    cutoff = now - pd.Timedelta(days=7)
+    # the cutoff floors to the coarse (1h) window boundary: only COMPLETE
+    # hours are swept, the boundary hour stays in the fine tier
+    cutoff = (now - pd.Timedelta(days=7)).floor("1h")
     assert (pd.DatetimeIndex(r["start"]) >= cutoff).all()
     # every expired minute lands in exactly one coarse sum (value=1 each)
     assert c["value"].sum() == len(pdf) - len(r)
-    assert (c["value"].iloc[:-1] == 60.0).all()  # all full windows sum 60
+    assert (c["value"] == 60.0).all()  # EVERY swept window is complete
     assert (c["tier"] == "1h").all()
 
 

@@ -86,6 +86,27 @@ def test_jaccard_exact_values(spark):
     assert np.isclose(out["jaccard"].iloc[0], 3 / 5)
 
 
+def test_shared_token_pairs_universal_token_capped(spark):
+    """The df cap on shared_token_pairs: a token present in every doc would
+    alone make the candidate self-join quadratic (C(200,2) pairs); with the
+    cap those candidates never materialize, while a planted near-dup pair
+    sharing rare tokens is still found and verifies at full Jaccard."""
+    n = 200
+    texts = [f"universal tok{i}a tok{i}b tok{i}c" for i in range(n)]
+    texts[7] = "universal rare1 rare2 rare3 rare4"
+    texts[13] = "universal rare1 rare2 rare3 rare5"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(n), "text": texts}))
+    sh = D.shingles(df, n=1)
+    pairs = D.shared_token_pairs(sh, max_token_df=10).toPandas()
+    # only the planted pair shares a sub-cap token; the universal token's
+    # C(200,2)=19900 candidates are dropped
+    assert set(map(tuple, pairs.to_numpy().tolist())) == {(7, 13)}
+    verified = D.jaccard_on_pairs(sh, spark.createDataFrame(pairs)).toPandas()
+    assert np.isclose(verified["jaccard"].iloc[0], 4 / 6)  # {universal,r1..r3} of 6
+    # uncapped control: the universal token pairs everything with everything
+    assert D.shared_token_pairs(sh, max_token_df=None).count() == n * (n - 1) // 2
+
+
 def test_textstats(docs):
     out = (
         with_fingerprint(with_lang_guess(with_quality_score(with_token_counts(docs))))

@@ -51,6 +51,36 @@ def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int =
     )
 
 
+def shared_token_pairs(
+    sh: DataFrame, id_col: str = "doc_id", max_token_df: int | None = 1000
+) -> DataFrame:
+    """Candidate pairs sharing at least one token/shingle with document
+    frequency <= max_token_df (columns id_a < id_b, distinct).
+
+    The df cap is the inverted-index twin of lsh_candidate_pairs'
+    max_bucket guard: an uncapped shared-token self-join goes quadratic the
+    moment one universal token ("the", empty-doc boilerplate) spans the
+    corpus. A token kept by the cap contributes at most C(max_token_df, 2)
+    pairs, so candidate volume is linear in token count. Docs whose every
+    shared token is above the cap are near-identical boilerplate en masse —
+    exact_dedup's job, like dropped LSH mega-buckets. The count window
+    shares the join's shuffle key (token), so the guard adds no exchange.
+    For open-ended corpora prefer minhash_near_dups: banding bounds
+    candidates without a df heuristic."""
+    if max_token_df is not None:
+        sh = sh.withColumn(
+            "__df", F.count("*").over(W.partitionBy("shingle"))
+        ).where(F.col("__df") <= max_token_df).drop("__df")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, ["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32, seed: int = 7
 ) -> DataFrame:

@@ -75,38 +75,46 @@ def asof_join(
     by = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by) | {on}]
+    # Carry the WHOLE right row as one struct so every projected value and
+    # the freshness verdict come from the SAME (latest) right row. LOCFing
+    # each payload column independently would substitute a stale value from
+    # an older row whenever the latest row has a NULL in that column (pandas
+    # merge_asof / DuckDB ASOF return the NULL), and could mix values from
+    # different right rows.
     tagged_r = right.select(
         *by,
         F.col(on).alias(on),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(
+            F.col(on).alias("__asof_ts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("__r_row"),
     ).withColumn("__is_left", F.lit(0))
     tagged_l = left.withColumn("__is_left", F.lit(1))
     u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
     # right rows sort before left rows at equal ts, so an equal-ts right row
-    # is visible to the left row's LOCF frame
+    # is visible to the left row's LOCF frame; the struct is non-null on
+    # every right row (even all-NULL payloads), so ignorenulls skips exactly
+    # the left rows.
     w = (
         W.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("__is_left").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    carried = {c: F.last(f"__r_{c}", ignorenulls=True).over(w) for c in right_cols}
-    carried_ts = F.last(
-        F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True
-    ).over(w)
-    out = u
+    out = u.withColumn("__carried", F.last("__r_row", ignorenulls=True).over(w))
     fresh = (
-        F.lit(True)
+        F.col("__carried").isNotNull()
         if tolerance_seconds is None
         else (
-            F.unix_timestamp(F.col(on)) - F.unix_timestamp(carried_ts)
+            F.unix_timestamp(F.col(on))
+            - F.unix_timestamp(F.col("__carried.__asof_ts"))
             <= F.lit(tolerance_seconds)
         )
     )
     for c in right_cols:
         out = out.withColumn(
             f"{c}{suffix}",
-            F.when(fresh, carried[c]).otherwise(F.lit(None)),
+            F.when(fresh, F.col(f"__carried.{c}")).otherwise(F.lit(None)),
         )
     return out.where(F.col("__is_left") == 1).drop(
-        "__is_left", *[f"__r_{c}" for c in right_cols]
+        "__is_left", "__r_row", "__carried"
     )

@@ -19,13 +19,38 @@ from timeseries_harmonizer_spark.config import TIERS, TierConfig
 from timeseries_harmonizer_spark.operators.rollup import downsample
 
 
+def floor_to_coarse_window(ts: pd.Timestamp, coarse: TierConfig) -> pd.Timestamp:
+    """Floor a timestamp to the start of the coarse tier's window containing
+    it (calendar month/week like date_trunc, else the epoch-aligned
+    fixed-width window)."""
+    ts = pd.Timestamp(ts)
+    if coarse.calendar == "month":
+        return ts.normalize().replace(day=1)
+    if coarse.calendar == "week":
+        return (ts - pd.Timedelta(days=ts.weekday())).normalize()  # Monday
+    return pd.Timestamp(
+        (int(ts.timestamp()) // coarse.seconds) * coarse.seconds, unit="s"
+    )
+
+
 def split_expired(
     points: DataFrame, tier: TierConfig, now: pd.Timestamp
 ) -> tuple[DataFrame, DataFrame]:
-    """(expired, retained) by the tier's retention horizon."""
+    """(expired, retained) by the tier's retention horizon.
+
+    The cutoff is floored to the COARSE tier's window boundary so only
+    complete coarse windows are ever swept. A raw `now - retention` cutoff
+    is never month-aligned, so the boundary window would be swept as a
+    partial slice — and because expired rows leave the fine tier, the next
+    sweep would emit a DIFFERENT partial SUM/AVG for the same (key, start),
+    and the last-write-wins read dedup would silently keep only the final
+    ~1-slice fragment. Flooring makes every emitted coarse point final."""
     if tier.retention is None:
         return points.where(F.lit(False)), points
-    cutoff = (pd.Timestamp(now) - tier.retention).to_pydatetime()
+    cutoff = pd.Timestamp(now) - tier.retention
+    if tier.coarser is not None:
+        cutoff = floor_to_coarse_window(cutoff, TIERS[tier.coarser])
+    cutoff = cutoff.to_pydatetime()
     expired = points.where(F.col("start") < F.lit(cutoff).cast("timestamp"))
     retained = points.where(F.col("start") >= F.lit(cutoff).cast("timestamp"))
     return expired, retained
