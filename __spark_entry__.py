@@ -1102,14 +1102,9 @@ _SIMHASH_ORACLE = (
 )
 
 
-def _md5_lower64_masked(c):
-    """Spark replica of DuckDB md5_number_lower(x) & 0x7fff...: the md5
-    digest's last 8 bytes read little-endian = hex pairs 31..17 reversed."""
-    h = F.md5(c)
-    le = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
-    return (
-        F.conv(le, 16, -10).cast("long").bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
-    )
+from timeseries_harmonizer_spark.functions.hashing import (  # noqa: E402
+    md5_lower64_masked as _md5_lower64_masked,
+)
 
 
 @_q("q34_simhash", _SIMHASH_ORACLE)
@@ -1366,14 +1361,62 @@ def q40(spark, sf_dir):
     )
 
 
-@_q("q38_multimodal_features")
+@_q(
+    "q38_multimodal_features",
+    # synthetic_media derives every column from the portable md5 hash family
+    # and the payload is repeat(sha256_hex, 4), so DuckDB recomputes the
+    # metadata AND the byte-entropy of the payload exactly. The RNG-based
+    # per-channel decode means are NOT SQL-reproducible (fake-decoder numpy
+    # RNG) — they stay pinned by pytest (test_multimodal_plumbing); this
+    # gate value-checks everything else end to end through the mapInPandas
+    # feature stage.
+    """
+    WITH m AS (SELECT range AS media_id FROM range(64)),
+    h AS (
+      SELECT media_id,
+        (md5_number_lower('k5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hk,
+        (md5_number_lower('w5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hw,
+        (md5_number_lower('h5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hh,
+        (md5_number_lower('d5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hd,
+        repeat(sha256('m' || media_id::varchar), 4) AS payload
+      FROM m),
+    meta AS (
+      SELECT media_id,
+             ['image','audio','video'][CAST(hk % 3 + 1 AS int)] AS kind,
+             CAST(hw % 64 + 16 AS int) AS width,
+             CAST(hh % 64 + 16 AS int) AS height,
+             hd % 300 / 10.0 AS duration_s,
+             payload
+      FROM h),
+    chars AS (
+      SELECT media_id, payload,
+             unnest(generate_series(1, length(payload))) AS i
+      FROM meta),
+    cnt AS (
+      SELECT media_id, substring(payload, i, 1) AS ch, count(*) AS k
+      FROM chars GROUP BY 1, 2),
+    ent AS (
+      SELECT media_id,
+             round(-sum((k / 256.0) * log2(k / 256.0)), 6) AS byte_entropy
+      FROM cnt GROUP BY media_id)
+    SELECT mt.media_id, mt.kind, mt.width, mt.height, mt.duration_s,
+           e.byte_entropy
+    FROM meta mt JOIN ent e USING (media_id)
+    """,
+)
 def q38(spark, sf_dir):
     from timeseries_harmonizer_spark.operators.multimodal import (
         extract_features,
         synthetic_media,
     )
 
-    return extract_features(synthetic_media(spark, n=64), fake_decode=True)
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media, fake_decode=True).select(
+        "media_id", "byte_entropy"
+    )
+    return media.select(
+        "media_id", "kind", "width", "height", "duration_s"
+    ).join(feats, "media_id")
 
 
 @_q(

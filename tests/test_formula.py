@@ -292,6 +292,75 @@ def test_nearest_frequency_candidate_selection(engine, spark):
     assert len(out) == 6 and out["value"].isna().all()
 
 
+def test_calendar_upsample_asof_and_plan(spark):
+    """P1W grid over a P1M SUM source: each week slot as-of-attaches the
+    latest monthly point and the SUM splits across the weeks that claimed
+    it — and the plan is the union+LOCF asof join, never a nested loop."""
+    monthly = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "start": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-02-01")],
+                "value": [310.0, 290.0],
+            }
+        )
+    )
+    eng = FormulaEngine(spark, series={"M": SeriesRef(monthly, "P1M", "SUM")})
+    q = eng.evaluate(
+        "<mh>M</mh>", pd.Timestamp("2024-01-01"), pd.Timestamp("2024-02-15"), "P1W"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    out = q.orderBy("start").toPandas()
+    # Mondays Jan 1..Feb 12: five weeks claim the Jan point (310/5), two
+    # claim the Feb point (290/2)
+    np.testing.assert_allclose(out["value"].to_numpy(), [62.0] * 5 + [145.0] * 2)
+
+
+def test_evaluate_many_per_key_candidate_resolution(spark):
+    """F3 x evaluate_many: device 'a' stores X hourly, device 'b' only
+    daily. Resolution must happen PER DEVICE (like the reference's loop):
+    'a' reads the hourly series, 'b' upsample-splits its daily one — a
+    global pick would leave 'b' all-NULL. Also covers the default keys_df
+    derivation with a list-valued leaf (used to raise AttributeError)."""
+    hourly = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "device": "a",
+                "start": [T0 + pd.Timedelta(hours=i) for i in range(6)],
+                "value": [1.0, 2, 3, 4, 5, 6],
+            }
+        )
+    )
+    daily = spark.createDataFrame(
+        pd.DataFrame({"device": ["b"], "start": [T0], "value": [240.0]})
+    )
+    eng = FormulaEngine(
+        spark,
+        series={
+            "X": [SeriesRef(hourly, H, "AVG"), SeriesRef(daily, 86400, "SUM")]
+        },
+    )
+    out = (
+        eng.evaluate_many(
+            "<mh>X</mh><mo>*</mo><mv>2</mv>",
+            T0,
+            T0 + pd.Timedelta(hours=5),
+            H,
+            keys=["device"],
+        )
+        .orderBy("device", "start")
+        .toPandas()
+    )
+    a = out[out["device"] == "a"]["value"].to_numpy()
+    b = out[out["device"] == "b"]["value"].to_numpy()
+    np.testing.assert_allclose(a, [2.0, 4, 6, 8, 10, 12])
+    # daily 240 upsample-splits across the 6 evaluated grid slots (clamped
+    # to the span, same as test_nearest_frequency_candidate_selection's
+    # 40/slot), times 2
+    np.testing.assert_allclose(b, [80.0] * 6)
+
+
 def test_order_by_dependencies():
     formulas = {
         "X": "<mh>A</mh><mo>+</mo><mh>B</mh>",

@@ -23,18 +23,27 @@ MEDIA_SCHEMA = (
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic opaque binary payloads + typed metadata."""
+    """Deterministic opaque binary payloads + typed metadata.
+
+    Every column derives from the portable md5-based 64-bit hash family
+    (functions/hashing.py) so an external engine (DuckDB
+    ``md5_number_lower``) can recompute the metadata and the payload bytes
+    exactly — which is what lets the q38 gate value-check this pipeline."""
+    from timeseries_harmonizer_spark.functions.hashing import md5_lower64_masked
+
+    sid = F.col("id").cast("string")
+    h = lambda tag: md5_lower64_masked(F.concat(F.lit(f"{tag}{seed}:"), sid))
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), 3) + 1).cast("int"),
+            (F.pmod(h("k"), 3) + 1).cast("int"),
         ).alias("kind"),
-        (F.pmod(F.xxhash64("id", F.lit("w")), 64) + 16).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("id", F.lit("h")), 64) + 16).cast("int").alias("height"),
-        (F.pmod(F.xxhash64("id", F.lit("d")), 300) / 10.0).alias("duration_s"),
+        (F.pmod(h("w"), 64) + 16).cast("int").alias("width"),
+        (F.pmod(h("h"), 64) + 16).cast("int").alias("height"),
+        (F.pmod(h("d"), 300) / 10.0).alias("duration_s"),
         F.encode(
-            F.repeat(F.sha2(F.concat(F.lit("m"), F.col("id").cast("string")), 256), 4),
+            F.repeat(F.sha2(F.concat(F.lit("m"), sid), 256), 4),
             "UTF-8",
         ).alias("payload"),
     )

@@ -239,31 +239,30 @@ class FormulaEngine:
         ks = self._keys
         on = ks + ["start"]
         if freq in ("P1M", "P1W"):
-            # calendar target: as-of over the dense grid (tiny inputs)
-            grid = self._grid_df
-            s2 = src
-            for k in ks:
-                s2 = s2.withColumnRenamed(k, f"__sk_{k}")
-            cond = F.col("start") >= F.col("__src_ts")
-            for k in ks:
-                cond = cond & (F.col(k) == F.col(f"__sk_{k}"))
-            joined = grid.join(s2, cond, "left")
-            w = W.partitionBy(*on).orderBy(F.col("__src_ts").desc())
-            asof = (
-                joined.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
+            # calendar target: as-of-attach each grid slot to the latest
+            # source point at or before it, via the union+LOCF asof_join
+            # (one hash exchange + window — a raw `start >= __src_ts`
+            # condition would plan as a BroadcastNestedLoopJoin)
+            from timeseries_harmonizer_spark.operators.joins import asof_join
+
+            right = src.select(
+                *ks, F.col("__src_ts").alias("start"), "__v", "__src_ts"
             )
+            asof = asof_join(
+                self._grid_df, right, on="start", by=ks,
+                right_cols=["__v", "__src_ts"],
+            )
+            val = F.col("__v_r")
             if ref.agg_func == "SUM":
-                cnt = F.count("*").over(
-                    W.partitionBy(*[f"__sk_{k}" for k in ks], "__src_ts")
+                # split the SUM across the grid slots that claimed this
+                # source point (same grouping key as the asof window)
+                cnt = F.count("__src_ts_r").over(
+                    W.partitionBy(*ks, "__src_ts_r")
                 )
-                asof = asof.withColumn(
-                    "__v",
-                    F.when(F.col("__src_ts").isNotNull(), F.col("__v") / cnt)
-                    .otherwise(F.col("__v")),
-                )
-            return asof.select(*on, F.col("__v").alias("value")), None
+                val = F.when(
+                    F.col("__src_ts_r").isNotNull(), F.col("__v_r") / cnt
+                ).otherwise(F.col("__v_r"))
+            return asof.select(*on, val.alias("value")), None
         step = int(freq)
         t0s = F.lit(int(self._t0.timestamp()))
         t1s = F.lit(int(self._t1.timestamp()))
@@ -318,7 +317,12 @@ class FormulaEngine:
             leaf_names = {mh.text for mh in tree.iter("mh")}
             if not leaf_names:
                 raise ValueError("no series leaves; pass keys_df explicitly")
-            parts = [self.series[n].df.select(*keys) for n in sorted(leaf_names)]
+            parts = []
+            for n in sorted(leaf_names):
+                ref = self.series[n]
+                # F3 list-valued leaves: every candidate's keys participate
+                cands = ref if isinstance(ref, (list, tuple)) else [ref]
+                parts.extend(c.df.select(*keys) for c in cands)
             keys_df = parts[0]
             for p in parts[1:]:
                 keys_df = keys_df.unionByName(p)
@@ -369,6 +373,44 @@ class FormulaEngine:
             df, col = post(df, col)
         return df, col
 
+    def _attach_multi_freq_leaf(
+        self, cands: list[SeriesRef], df: DataFrame, freq
+    ) -> tuple[DataFrame, Column]:
+        """F3 in multi-device mode: each key elects the FIRST candidate (in
+        nearest-frequency order) holding any of its rows — the same
+        wholesale per-device selection the reference's loop makes
+        (lib2/calculate_formulas.py:163-176), but in one Spark plan: tag
+        each candidate's key set, take the min candidate index per key,
+        semi-filter each candidate's source to its electorate, attach each
+        as a normal aligned leaf, and coalesce the leaf columns in candidate
+        order. A key's non-elected candidates contribute no rows (filtered
+        before alignment), so the coalesce can never mix frequencies within
+        a device."""
+        ks = self._keys
+        ordered = sorted(
+            cands,
+            key=lambda r: abs(
+                comparable_seconds(r.freq) - comparable_seconds(freq)
+            ),
+        )
+        flags = None
+        for i, ref in enumerate(ordered):
+            fl = ref.df.select(*ks).distinct().withColumn("__cand", F.lit(i))
+            flags = fl if flags is None else flags.unionByName(fl)
+        chosen = flags.groupBy(*ks).agg(F.min("__cand").alias("__cand"))
+        cols: list[Column] = []
+        for i, ref in enumerate(ordered):
+            elect = chosen.where(F.col("__cand") == i).drop("__cand")
+            ref_i = SeriesRef(
+                df=ref.df.join(elect, ks, "left_semi"),
+                freq=ref.freq,
+                agg_func=ref.agg_func,
+            )
+            aligned, post = self._align_series(ref_i, freq)
+            df, col = self._attach_leaf(df, aligned, post)
+            cols.append(col)
+        return df, F.coalesce(*cols)
+
     def _compile(self, node: ET.Element, df: DataFrame, freq) -> tuple[DataFrame, Column]:
         children = list(node)
         if len(children) == 0:
@@ -383,6 +425,12 @@ class FormulaEngine:
                 ref = self.series[node.text]
                 if isinstance(ref, (list, tuple)):
                     # F3: multiple stored frequencies for this leaf
+                    if self._keys:
+                        # multi-device: resolution must be PER KEY (the
+                        # reference picks per device) — a global pick would
+                        # silently null out devices stored only at another
+                        # frequency
+                        return self._attach_multi_freq_leaf(list(ref), df, freq)
                     ref = resolve_series(list(ref), freq)
                     if ref is None:  # every candidate empty -> all-NaN leaf
                         return df, F.lit(None).cast("double")

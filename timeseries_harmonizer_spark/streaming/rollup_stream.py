@@ -70,17 +70,30 @@ def streaming_keep_last(
     key: str = "url",
     ts_col: str = "warc_ts",
     watermark: str = "2 hours",
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Streaming D1 analog: drop duplicate (key, ts) observations as they
-    arrive, keeping state only within the watermark
-    (dropDuplicatesWithinWatermark — bounded state, unlike a global
-    dropDuplicates). The batch pipeline's keep-last tiebreak on ingest_pos
-    becomes arrival order here: the first arrival wins and later replays of
-    the same (key, ts) inside the watermark are discarded, which is exactly
-    the reference's store-level last-write-wins idempotency under re-sends
-    (reference launcher.py:40-44 re-reads + overwrite semantics)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        [key, ts_col]
+    """Streaming D1 analog with two modes, chosen by ``order_col``:
+
+    - ``order_col=None`` (default): drop duplicate (key, ts) observations
+      as they arrive (dropDuplicatesWithinWatermark — bounded state).
+      CAUTION — this keeps the FIRST arrival, which DIVERGES from the batch
+      D1 semantics where the scan-order LAST payload wins: if replays carry
+      AMENDED payloads, batch and streaming outputs disagree. It is correct
+      (and cheapest) when re-sends are byte-identical, which is the
+      reference's store-level idempotency model (launcher.py:40-44 re-read
+      + overwrite of the same rows).
+    - ``order_col='ingest_pos'``: true last-wins — a watermarked aggregate
+      taking max_by(payload, order_col) per (key, ts). Matches batch
+      keep_last exactly, at the cost of withholding each row until the
+      watermark passes its event time (append-mode finalization). Use this
+      when replays may amend payloads.
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    if order_col is None:
+        return wm.dropDuplicatesWithinWatermark([key, ts_col])
+    payload = [c for c in stream.columns if c not in (key, ts_col, order_col)]
+    return wm.groupBy(key, ts_col).agg(
+        *[F.max_by(c, order_col).alias(c) for c in payload]
     )
 
 
