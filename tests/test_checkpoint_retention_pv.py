@@ -67,6 +67,39 @@ def test_run_tier_job_reads_input_table(tmp_path, spark, pages):
     assert snaps  # points were produced from the on-disk table
 
 
+def test_diff_series_cli(tmp_path, spark, pages):
+    """The recompute-and-diff debug CLI: MATCH (exit 0) against a freshly
+    written warehouse, DRIFT (exit 1) after a corrupting snapshot lands —
+    the reference's debug-tool recompute discipline as an operator entry
+    point."""
+    import scripts.diff_series as ds
+    from jobs.run_tier import main
+    from timeseries_harmonizer_spark.sources.tables import Catalog
+
+    src = str(tmp_path / "pages_src")
+    pages.write.parquet(src)
+    wh = str(tmp_path / "wh")
+    main(["--tier", "1h", "--warehouse", wh, "--run-id", "r-diff",
+          "--input", src, "--master", "local[2]"])
+    url = pages.select("url").first()[0]
+    base = ["--warehouse", wh, "--input", src, "--url", url,
+            "--tier", "1h", "--master", "local[2]"]
+    assert ds.main(base) == 0
+    # corrupt one stored window via a newer snapshot (last-write-wins reads
+    # will surface it) and expect the diff to flag exactly that drift
+    cat = Catalog(wh)
+    pts = cat.read(spark, "points_1h")
+    bad = (
+        pts.where(F.col("url") == url)
+        .orderBy("start")
+        .limit(1)
+        .withColumn("value", F.col("value") + 100.0)
+        .withColumn("snapshot_id", F.lit(10**6))
+    )
+    cat.write("points_1h", bad, mode="append", partition_by=["bucket"])
+    assert ds.main(base) == 1
+
+
 def test_sweep_downsamples_expired(spark):
     # 1m-tier points spanning 10 days; retention 7d -> first ~3d downsampled to 1h
     idx = pd.date_range("2024-01-01", periods=10 * 1440, freq="1min")
