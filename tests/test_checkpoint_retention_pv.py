@@ -100,6 +100,45 @@ def test_diff_series_cli(tmp_path, spark, pages):
     assert ds.main(base) == 1
 
 
+def test_copy_table_tool(tmp_path, spark):
+    """S11 table surgery: export backs rows up, delete rewrites the table
+    without them (staged-swap snapshot), migrate re-keys them to a new url
+    with a recomputed bucket."""
+    import scripts.copy_table as ct
+    from timeseries_harmonizer_spark.sources.tables import Catalog
+
+    wh = str(tmp_path / "wh")
+    idx = pd.date_range("2024-01-01", periods=48, freq="1h")
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"url": u, "start": idx, "value": np.arange(48.0),
+                          "bucket": b, "snapshot_id": 1})
+            for u, b in [("u1", 0), ("u2", 1)]
+        ]
+    )
+    cat = Catalog(wh)
+    cat.write("points_1h", spark.createDataFrame(pdf), partition_by=["bucket"])
+    base = ["--warehouse", wh, "--table", "points_1h", "--master", "local[2]"]
+
+    out = str(tmp_path / "backup.parquet")
+    assert ct.main(["export", *base, "--url", "u1",
+                    "--ts-end", "2024-01-02", "--out", out]) == 0
+    assert len(pd.read_parquet(out)) == 24  # first day only
+
+    assert ct.main(["delete", *base, "--url", "u1", "--ts-end", "2024-01-02"]) == 0
+    after = cat.read(spark, "points_1h").toPandas()
+    assert len(after) == 96 - 24
+    assert (after[after["url"] == "u1"]["start"] >= pd.Timestamp("2024-01-02")).all()
+    assert len(after[after["url"] == "u2"]) == 48  # untouched
+    assert cat.snapshots("points_1h")[-1].mode == "rewrite"
+
+    assert ct.main(["migrate", *base, "--url", "u2", "--to-url", "u3"]) == 0
+    final = cat.read(spark, "points_1h").toPandas()
+    u3 = final[final["url"] == "u3"]
+    assert len(u3) == 48
+    assert u3["bucket"].nunique() == 1 and u3["bucket"].iloc[0] != 1  # re-keyed
+
+
 def test_sweep_downsamples_expired(spark):
     # 1m-tier points spanning 10 days; retention 7d -> first ~3d downsampled to 1h
     idx = pd.date_range("2024-01-01", periods=10 * 1440, freq="1min")

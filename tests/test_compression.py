@@ -33,6 +33,34 @@ def test_ts_roundtrip(ts):
     assert np.array_equal(t, back)
 
 
+@given(
+    st.lists(finite_or_weird, min_size=1, max_size=200),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_grouped_encoders_byte_identical(vals, data):
+    """encode_*_grouped must produce EXACTLY the bytes of the per-group
+    scalar encoders for any contiguous group split — the payload stage's
+    batch vectorization can never change the storage format."""
+    v = np.array(vals, dtype=np.float64)
+    n = len(v)
+    k = data.draw(st.integers(min_value=1, max_value=n))
+    cuts = sorted(data.draw(
+        st.lists(st.integers(min_value=1, max_value=max(n - 1, 1)),
+                 max_size=k, unique=True)
+    )) if n > 1 else []
+    starts = np.array([0] + cuts, dtype=np.int64)
+    ends = np.append(starts[1:], n)
+    t = (np.arange(n, dtype=np.int64) * 3600 + 1704067200) + (
+        v.view(np.int64) % 7
+    )  # irregular but deterministic timestamps
+    fg = C.encode_floats_grouped(v, starts, ends)
+    tg = C.encode_timestamps_grouped(t, starts, ends)
+    for i, (a, b) in enumerate(zip(starts, ends)):
+        assert fg[i] == C.encode_floats(v[a:b])
+        assert tg[i] == C.encode_timestamps(t[a:b])
+
+
 def test_compression_is_effective():
     t = np.arange(0, 86400, 60, dtype=np.int64) + 1704067200
     v = np.round(np.cumsum(np.ones(len(t))) * 0.25, 5)

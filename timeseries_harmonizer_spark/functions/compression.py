@@ -138,6 +138,94 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     return _MAGIC_T + np.uint32(n).tobytes() + nbytes.tobytes() + payload.tobytes()
 
 
+def encode_floats_grouped(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Encode MANY contiguous groups of one value array in a single
+    vectorized pass; returns one blob per group, byte-identical to
+    ``encode_floats(values[a:b])``. The XOR chain restarts at each group
+    start (first value raw), so the whole-batch bit stream is computed once
+    and each group's blob is a pure slice — this is what keeps the payload
+    stage at ~2 numpy passes per Arrow batch instead of ~2 encoder calls
+    per (series, day) group."""
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    n = len(v)
+    if n == 0:
+        return []
+    u = v.view(np.uint64)
+    xors = np.empty(n, dtype=np.uint64)
+    xors[0] = u[0]
+    np.bitwise_xor(u[1:], u[:-1], out=xors[1:])
+    xors[starts] = u[starts]  # each group's first value is stored raw
+    tzb, mb = _meaningful_bytes(xors)
+    ctrl = ((tzb << 4) | mb).astype(np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(mb, out=offs[1:])
+    payload = np.zeros(int(offs[-1]), dtype=np.uint8)
+    lebytes = xors.reshape(-1, 1).view(np.uint8).reshape(-1, 8)
+    for L in range(1, 9):
+        sel = np.nonzero(mb == L)[0]
+        if len(sel) == 0:
+            continue
+        sts = offs[sel]
+        rows = lebytes[sel]
+        src_col = tzb[sel].astype(np.int64)
+        idx = sts[:, None] + np.arange(L)
+        payload[idx] = rows[np.arange(len(sel))[:, None], src_col[:, None] + np.arange(L)]
+    ctrl_b, payload_b = ctrl.tobytes(), payload.tobytes()
+    return [
+        _MAGIC_F
+        + np.uint32(b - a).tobytes()
+        + ctrl_b[a:b]
+        + payload_b[offs[a]:offs[b]]
+        for a, b in zip(starts, ends)
+    ]
+
+
+def encode_timestamps_grouped(
+    ts: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Grouped twin of ``encode_timestamps``: the delta-of-delta chain
+    restarts at each group boundary (first value raw, then the first delta),
+    computed for the whole batch at once; per-group blobs are byte-identical
+    to the scalar encoder's."""
+    t = np.ascontiguousarray(ts, dtype=np.int64)
+    n = len(t)
+    if n == 0:
+        return []
+    dod = np.empty(n, dtype=np.int64)
+    dod[0] = t[0]
+    if n > 1:
+        dod[1] = t[1] - t[0]
+    if n > 2:
+        dod[2:] = t[2:] - 2 * t[1:-1] + t[:-2]
+    dod[starts] = t[starts]
+    s2 = starts + 1
+    s2 = s2[s2 < ends]  # each group's second element stores the raw delta
+    dod[s2] = t[s2] - t[s2 - 1]
+    z = _zigzag(dod)
+    tzb, mb = _meaningful_bytes(z)
+    nbytes = (tzb + mb).astype(np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offs[1:])
+    payload = np.zeros(int(offs[-1]), dtype=np.uint8)
+    lebytes = z.reshape(-1, 1).view(np.uint8).reshape(-1, 8)
+    for L in range(1, 9):
+        sel = np.nonzero(nbytes == L)[0]
+        if len(sel) == 0:
+            continue
+        idx = offs[sel][:, None] + np.arange(L)
+        payload[idx] = lebytes[sel][:, :L]
+    nbytes_b, payload_b = nbytes.tobytes(), payload.tobytes()
+    return [
+        _MAGIC_T
+        + np.uint32(b - a).tobytes()
+        + nbytes_b[a:b]
+        + payload_b[offs[a]:offs[b]]
+        for a, b in zip(starts, ends)
+    ]
+
+
 def decode_timestamps(blob: bytes) -> np.ndarray:
     assert blob[:3] == _MAGIC_T, "not a DD1 ts blob"
     n = int(np.frombuffer(blob, dtype=np.uint32, count=1, offset=3)[0])

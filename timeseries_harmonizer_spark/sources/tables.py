@@ -103,6 +103,46 @@ class Catalog:
         )
         return snap_id
 
+    def rewrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        watermark: str | None = None,
+    ) -> int:
+        """Full-table rewrite that is SAFE when ``df`` derives from this
+        same table (Spark cannot overwrite a parquet dir it is reading):
+        stage the new data to a sibling dir, swap directories, commit a
+        'rewrite' snapshot. This is the delete/tombstone primitive (S10 —
+        reference tools/remove_influx_data.py:10-21 drops a measurement
+        range; here the table is rewritten without the dropped rows)."""
+        import shutil
+
+        tmp = self._data_dir(name) + ".rewrite"
+        shutil.rmtree(tmp, ignore_errors=True)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        live, bak = self._data_dir(name), self._data_dir(name) + ".old"
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.exists(live):
+            os.rename(live, bak)
+        os.rename(tmp, live)  # commit point for the data
+        shutil.rmtree(bak, ignore_errors=True)
+        snap_id = (self.last_snapshot_id(name) or 0) + 1
+        self._commit(
+            Snapshot(
+                snapshot_id=snap_id,
+                table=name,
+                mode="rewrite",
+                rows=None,
+                committed_at=time.time(),
+                watermark=watermark,
+            )
+        )
+        return snap_id
+
     # -- reads ---------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._data_dir(name))
