@@ -1626,6 +1626,31 @@ def q46(spark, sf_dir):
 
 
 @_q(
+    "q49_asof_join_forward",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.value AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def q49(spark, sf_dir):
+    """Forward as-of join (earliest click at or after each purchase) — the
+    same union+LOCF scan over descending time; oracle is DuckDB's native
+    forward ASOF JOIN (`p.ts <= c.ts`)."""
+    from timeseries_harmonizer_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, EV)
+    p = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    c = ev.where("event_type = 'click'").select("user_id", "ts", "value")
+    out = asof_join(p, c, on="ts", by="user_id", right_cols=["value"],
+                    direction="forward")
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value_r").alias("next_click_value")
+    )
+
+
+@_q(
     "q47_interval_join",
     """
     WITH iv AS (
@@ -1666,6 +1691,59 @@ def q47(spark, sf_dir):
         .select(
             "user_id", "start", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
         )
+    )
+
+
+@_q(
+    "q48_repetition_stats",
+    # Gopher-family repetition quality signals (Rae et al. 2021, A1.1):
+    # duplicate-word fraction and the most-frequent-bigram fraction, plus
+    # the keep verdict at the published-style thresholds.
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id, toks,
+             round(1.0 - len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+               AS dup_word_frac,
+             CAST(greatest(len(toks) - 1, 0) AS INTEGER) AS n_bigrams
+      FROM t),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t)),
+    top AS (
+      SELECT doc_id, max(c) AS top_n
+      FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+      GROUP BY doc_id)
+    SELECT b.doc_id, b.dup_word_frac, b.n_bigrams,
+           CASE WHEN b.n_bigrams > 0
+                THEN round(top.top_n / b.n_bigrams, 6) END AS top_bigram_frac,
+           (b.dup_word_frac <= 0.7
+            AND coalesce(round(top.top_n / nullif(b.n_bigrams, 0), 6) <= 0.18,
+                         TRUE)) AS keep
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def q48(spark, sf_dir):
+    """Repetition-quality filter: per-row bigram mode via array_sort +
+    aggregate() (one JVM scan, no explode/shuffle — the plan is a pure
+    Project over the parquet scan at any corpus size)."""
+    from timeseries_harmonizer_spark.functions.textstats import with_repetition_stats
+
+    d = with_repetition_stats(_t(spark, sf_dir, "documents"))
+    keep = (F.col("dup_word_frac") <= 0.7) & (
+        F.coalesce(F.col("top_bigram_frac") <= 0.18, F.lit(True))
+    )
+    return d.select(
+        "doc_id",
+        "dup_word_frac",
+        "n_bigrams",
+        "top_bigram_frac",
+        keep.alias("keep"),
     )
 
 

@@ -20,7 +20,7 @@ def _fixture():
     return left, right
 
 
-def _pandas_asof(left, right, tolerance=None):
+def _pandas_asof(left, right, tolerance=None, direction="backward"):
     kw = {"tolerance": pd.Timedelta(seconds=tolerance)} if tolerance else {}
     return (
         pd.merge_asof(
@@ -28,7 +28,7 @@ def _pandas_asof(left, right, tolerance=None):
             right.sort_values("ts").rename(columns={"price": "price_r"}),
             on="ts",
             by="key",
-            direction="backward",
+            direction=direction,
             **kw,
         )
         .sort_values(["key", "ts", "lval"])
@@ -67,6 +67,30 @@ def test_asof_join_tolerance(spark):
         got["price_r"].to_numpy(dtype=float), exp["price_r"].to_numpy(dtype=float),
         rtol=0, atol=0, equal_nan=True,
     )
+
+
+def test_asof_join_forward_and_nearest_match_pandas(spark):
+    """merge_asof's other two directions, with and without tolerance."""
+    left, right = _fixture()
+    for direction in ("forward", "nearest"):
+        for tol in (None, 600):
+            got = (
+                asof_join(
+                    spark.createDataFrame(left), spark.createDataFrame(right),
+                    on="ts", by="key", right_cols=["price"],
+                    direction=direction, tolerance_seconds=tol,
+                )
+                .toPandas()
+                .sort_values(["key", "ts", "lval"])
+                .reset_index(drop=True)
+            )
+            exp = _pandas_asof(left, right, tolerance=tol, direction=direction)
+            np.testing.assert_allclose(
+                got["price_r"].to_numpy(dtype=float),
+                exp["price_r"].to_numpy(dtype=float),
+                rtol=0, atol=0, equal_nan=True,
+                err_msg=f"direction={direction} tol={tol}",
+            )
 
 
 def test_asof_join_null_payload_is_atomic(spark):

@@ -75,6 +75,63 @@ def with_lang_guess(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", guess)
 
 
+def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family, public:
+    Rae et al. 2021 'Scaling Language Models' appendix A1.1 — fraction of
+    duplicate n-grams / characters in most-common n-gram): here the
+    word-level pair —
+
+    - ``dup_word_frac``: 1 - distinct_words / words
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams (NULL when fewer than 2 words)
+
+    Pure Column expressions: the per-row bigram mode comes from
+    array_sort + a single aggregate() scan tracking the longest equal-run
+    (JVM codegen, no explode, no UDF) — so the filter runs scan-side at any
+    corpus size with zero shuffles."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    dup_word_frac = F.round(
+        1.0 - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(bigrams)
+    # longest run of equal adjacent elements in the sorted array = max
+    # bigram frequency; one aggregate() pass with a (prev, run, best) state
+    state0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    top_n = F.aggregate(
+        srt,
+        state0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bigrams = F.size(bigrams)
+    top_bigram_frac = F.when(
+        n_bigrams > 0, F.round(top_n / n_bigrams, 6)
+    )
+    return (
+        df.withColumn("dup_word_frac", dup_word_frac)
+        .withColumn("n_bigrams", n_bigrams)
+        .withColumn("top_bigram_frac", top_bigram_frac)
+    )
+
+
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-near-dup key (a rolling-hash analog that both engines share)."""
