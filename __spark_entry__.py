@@ -1747,6 +1747,48 @@ def q48(spark, sf_dir):
     )
 
 
+@_q(
+    "q50_boilerplate_removal",
+    # CCNet/RefinedWeb-style corpus boilerplate removal over fixed 8-word
+    # segments: segments in more than 2 docs are template text and are
+    # dropped; surviving segments reassemble in original order.
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents),
+    seg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(toks) / 8.0) AS INT) - 1, 0))) AS i
+            FROM t)),
+    dfreq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.seg, d.df <= 2 AS keep
+      FROM seg s JOIN dfreq d USING (seg))
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos), '')
+             AS clean_text,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q50(spark, sf_dir):
+    """Boilerplate segment removal: one segment-hash df aggregation + join
+    back + ordered reassembly (shuffle keys = segment / doc id, never the
+    document text)."""
+    from timeseries_harmonizer_spark.operators.docdedup import (
+        boilerplate_segment_filter,
+    )
+
+    return boilerplate_segment_filter(
+        _t(spark, sf_dir, "documents"), seg_words=8, max_df=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

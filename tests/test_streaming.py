@@ -98,6 +98,65 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert (got["len_sum"] == 60.0).all()
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionizer (applyInPandasWithState) == batch
+    sessionize + per-session aggregate, for every session whose gap window
+    has provably elapsed; the trailing open session stays in state. Also
+    exercises cross-trigger state carry: the second file extends the last
+    session of the first."""
+    from timeseries_harmonizer_spark.operators.sessionize import sessionize
+    from timeseries_harmonizer_spark.streaming.rollup_stream import (
+        streaming_sessionize,
+    )
+
+    src = str(tmp_path / "src5")
+    out = str(tmp_path / "out5")
+    ckpt = str(tmp_path / "ckpt5")
+    # url u: session A (10 pts), 3h gap, session B begun in file 1 and
+    # EXTENDED in file 2 (30 min later), then a 3h gap and session C
+    t0 = pd.Timestamp("2024-01-01 00:00")
+    a = pd.date_range(t0, periods=10, freq="1min")
+    b1 = pd.date_range(t0 + pd.Timedelta(hours=4), periods=5, freq="1min")
+    b2 = pd.date_range(b1[-1] + pd.Timedelta(minutes=30), periods=5, freq="1min")
+    c = pd.date_range(b2[-1] + pd.Timedelta(hours=3), periods=4, freq="1min")
+    f1 = pd.DataFrame({"url": "u", "warc_ts": list(a) + list(b1), "value": 1.0})
+    f2 = pd.DataFrame({"url": "u", "warc_ts": list(b2) + list(c), "value": 2.0})
+    spark.createDataFrame(f1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = read_pages_stream(spark, src)
+        q = streaming_sessionize(stream, gap_seconds=7200, watermark="0 seconds")
+        run_available_now(q, out, ckpt)
+
+    drain()
+    spark.createDataFrame(f2).write.mode("append").parquet(src)
+    drain()
+    got = (
+        spark.read.parquet(out).toPandas().sort_values("session_start").reset_index(drop=True)
+    )
+    all_rows = pd.concat([f1, f2])
+    batch = (
+        sessionize(spark.createDataFrame(all_rows), gap_seconds=7200)
+        .groupBy("url", "session_id")
+        .agg(
+            F.min("warc_ts").alias("session_start"),
+            F.max("warc_ts").alias("session_end"),
+            F.count("*").alias("n_points"),
+            F.sum("value").alias("value_sum"),
+        )
+        .orderBy("session_start")
+        .toPandas()
+    )
+    # the final session (C) is still open in state — everything before it
+    # must match batch exactly, including B assembled across two triggers
+    exp = batch.iloc[:-1].reset_index(drop=True)
+    assert len(got) == len(exp) == 2
+    for col in ("session_start", "session_end", "n_points", "value_sum"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    # session B spans both files: 5 pts @1.0 + 5 pts @2.0
+    assert got.iloc[1]["n_points"] == 10 and got.iloc[1]["value_sum"] == 15.0
+
+
 def test_streaming_keep_last_amended_replays(spark, tmp_path):
     """order_col mode: replays that AMEND the payload — the last write (by
     ingest_pos) must win, exactly like batch keep_last. The default

@@ -107,6 +107,28 @@ def test_shared_token_pairs_universal_token_capped(spark):
     assert D.shared_token_pairs(sh, max_token_df=None).count() == n * (n - 1) // 2
 
 
+def test_boilerplate_segment_filter(spark):
+    """Planted template: 4 docs share an 8-word header segment (df=4 > cap
+    2) plus unique bodies — the header vanishes from every doc, bodies
+    survive verbatim; a fully-boilerplate doc comes back empty."""
+    header = "site nav menu login search footer legal contact"
+    bodies = [f"body{i}a body{i}b body{i}c body{i}d body{i}e body{i}f body{i}g body{i}h"
+              for i in range(3)]
+    texts = [f"{header} {b}" for b in bodies] + [header]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": texts})
+    )
+    out = (
+        D.boilerplate_segment_filter(df, seg_words=8, max_df=2)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    for i in range(3):
+        assert out.loc[i, "clean_text"] == bodies[i]
+        assert out.loc[i, "n_kept"] == 1 and out.loc[i, "n_removed"] == 1
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_kept"] == 0
+
+
 def test_textstats(docs):
     out = (
         with_fingerprint(with_lang_guess(with_quality_score(with_token_counts(docs))))

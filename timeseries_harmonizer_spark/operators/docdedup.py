@@ -81,6 +81,71 @@ def shared_token_pairs(
     )
 
 
+def boilerplate_segment_filter(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    discipline, applied to fixed word windows since web text here has no
+    line structure): split each doc into consecutive ``seg_words``-word
+    segments, drop every segment whose document frequency exceeds
+    ``max_df`` (shared headers/footers/templates), and reassemble the
+    surviving segments in original order.
+
+    Returns (id, clean_text, n_kept, n_removed) for EVERY input doc
+    (fully-boilerplate docs come back with empty text).
+
+    Scale shape: one segment-hash aggregation (map-side combined, distinct
+    per doc first so a doc can't inflate its own segment's df) + one
+    equi-join back + one per-doc reassembly groupBy — all shuffle keys are
+    the segment hash or the doc id, never the text."""
+    norm = normalized(F.col(text))
+    toks = F.split(norm, " ")
+    nseg = F.ceil(F.size(toks) / seg_words).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(nseg - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i * seg_words + 1, seg_words), " "),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    seg_df = (
+        exploded.select(id_col, "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("__df"))
+    )
+    kept = exploded.join(seg_df, "seg").withColumn(
+        "__keep", F.col("__df") <= max_df
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"), F.struct(F.col("pos"), F.col("seg"))
+                        )
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("__keep")).cast("long")).alias("n_removed"),
+    )
+    return df.select(id_col).join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32, seed: int = 7
 ) -> DataFrame:

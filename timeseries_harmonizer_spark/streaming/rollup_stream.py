@@ -97,6 +97,117 @@ def streaming_keep_last(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "url string, session_start timestamp, session_end timestamp, "
+    "n_points long, value_sum double"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, vsum double"
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    gap_seconds: int = 7200,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming R5: the custom stateful operator the built-ins can't
+    express — gap-based sessions per key, emitted as one row per CLOSED
+    session (start, end, n_points, value_sum). A session closes when a
+    later point arrives more than ``gap_seconds`` after it, or when event
+    time (the watermark) passes its deadline with no successor
+    (EventTimeTimeout), so state is bounded: at most one open session per
+    key. Batch-parity: the emitted rows equal the batch ``sessionize`` +
+    per-session aggregate for every session whose gap window has provably
+    elapsed.
+
+    applyInPandasWithState: Arrow-batched per-key state machine — the batch
+    math inside is vectorized numpy over the sorted batch."""
+    import numpy as np
+    import pandas as pd
+
+    gap_ms = gap_seconds * 1000
+
+    def fn(key_tuple, pdf_iter, state):
+        if state.hasTimedOut:
+            start, last, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "url": [key_tuple[0]],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n_points": [n],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(ts_col)
+        ts = (pdf[ts_col].astype("int64") // 10**9).to_numpy()
+        vals = pdf[value].to_numpy(dtype="float64")
+        # carried open session (if any) prepends as a pseudo-segment
+        if state.exists:
+            c_start, c_last, c_n, c_vsum = state.get
+        else:
+            c_start = c_last = None
+            c_n, c_vsum = 0, 0.0
+        # session boundaries inside the batch
+        brk = np.flatnonzero(np.diff(ts) > gap_seconds) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(ts)]))
+        out = []
+        for i, (a, b) in enumerate(zip(starts, ends)):
+            s_start, s_last = int(ts[a]), int(ts[b - 1])
+            s_n, s_vsum = int(b - a), float(np.nansum(vals[a:b]))
+            if i == 0 and c_last is not None:
+                if s_start - c_last <= gap_seconds:
+                    # extends the carried session
+                    s_start, s_n, s_vsum = c_start, c_n + s_n, c_vsum + s_vsum
+                else:
+                    out.append((c_start, c_last, c_n, c_vsum))
+            if b < len(ts):
+                out.append((s_start, s_last, s_n, s_vsum))  # closed in-batch
+            else:
+                c_start, c_last, c_n, c_vsum = s_start, s_last, s_n, s_vsum
+        # keep the trailing session open; close it NOW if the watermark has
+        # already passed its deadline (EventTimeTimeout must be > watermark)
+        deadline_ms = c_last * 1000 + gap_ms
+        wm = state.getCurrentWatermarkMs()
+        if deadline_ms <= wm:
+            out.append((c_start, c_last, c_n, c_vsum))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((int(c_start), int(c_last), int(c_n), float(c_vsum)))
+            state.setTimeoutTimestamp(deadline_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "url": key_tuple[0],
+                    "session_start": pd.to_datetime([r[0] for r in out], unit="s"),
+                    "session_end": pd.to_datetime([r[1] for r in out], unit="s"),
+                    "n_points": [int(r[2]) for r in out],
+                    "value_sum": [float(r[3]) for r in out],
+                }
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
 def run_available_now(
     agg: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
 ) -> None:
