@@ -1789,6 +1789,39 @@ def q50(spark, sf_dir):
     )
 
 
+@_q(
+    "q51_compress_roundtrip",
+    # The Gorilla-XOR/delta-of-delta payload codec, value-checked in the
+    # gate: the Spark side pushes an hourly per-user series THROUGH
+    # encode + decode; the oracle is simply the series itself, so any
+    # codec bit-error surfaces as a value mismatch. v is floor-quantized at
+    # 1e-6 on both sides (avg() accumulation order varies with parallelism)
+    # and the codec round-trips those doubles bit-exactly.
+    """
+    SELECT CAST(user_id AS VARCHAR) AS url,
+           date_trunc('hour', ts) AS start,
+           floor(avg(value) * 1e6) / 1e6 AS value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q51(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.compress import (
+        compress_points,
+        decompress_points,
+    )
+
+    hourly = (
+        _hourly(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").cast("string").alias("url"),
+            F.col("hour").alias("start"),
+        )
+        .agg((F.floor(F.avg("value") * 1e6) / 1e6).alias("value"))
+    )
+    blobs = compress_points(hourly, "1h", partitions=8)
+    return decompress_points(blobs).select("url", "start", "value")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

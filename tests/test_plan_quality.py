@@ -105,3 +105,43 @@ def test_prepare_single_exchange(spark, pages, reg, tmp_path):
     inp, key = fact_blocks[0]
     assert key == "url", fact_blocks
     assert "html" not in inp, inp  # binary pruned before the shuffle
+
+
+def test_repetition_stats_is_scan_side(spark):
+    """q48's repetition stats must be a pure Project over the scan — zero
+    exchanges, zero Python nodes, no explode: the per-row bigram mode comes
+    from array_sort + aggregate(), so the filter runs map-side at any
+    corpus size."""
+    from timeseries_harmonizer_spark.functions.textstats import (
+        with_repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = with_repetition_stats(docs).select(
+        "doc_id", "dup_word_frac", "top_bigram_frac"
+    )
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan
+
+
+def test_boilerplate_filter_never_shuffles_text(spark):
+    """q50's boilerplate removal may shuffle segment hashes and doc ids but
+    the full document text column must never cross an exchange."""
+    from timeseries_harmonizer_spark.operators.docdedup import (
+        boilerplate_segment_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(boilerplate_segment_filter(docs))
+    # every Exchange's input schema in the formatted plan: the raw `text`
+    # column must not appear (segments/pos/doc_id/agg buffers only)
+    blocks = list(re.finditer(
+        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ))
+    assert len(blocks) >= 1, plan  # the regex must actually see exchanges
+    for m in blocks:
+        cols = {c.strip().split("#")[0] for c in m.group(1).split(",")}
+        assert "text" not in cols, plan
