@@ -1822,6 +1822,100 @@ def q51(spark, sf_dir):
     return decompress_points(blobs).select("url", "start", "value")
 
 
+@_q(
+    "q52_dedup_components",
+    # Duplicate-cluster assignment: connected components over the q43
+    # embedding-cosine near-dup pairs, component = min reachable id. The
+    # oracle computes the same closure with a recursive CTE (transitive
+    # closure is fine at oracle scale; the Spark side is the distributed
+    # min-label-propagation loop).
+    """
+    WITH RECURSIVE
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+        ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.42),
+    edges AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (SELECT s AS id, least(s, min(d)) AS component
+             FROM reach GROUP BY s)
+    SELECT id, component FROM comp
+    """,
+)
+def q52(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters: the distributed Pregel-style
+    min-label propagation (one join + one groupBy per round, diameter
+    rounds, lineage truncated per round)."""
+    from timeseries_harmonizer_spark.operators.docdedup import (
+        connected_components,
+    )
+    from timeseries_harmonizer_spark.operators.similarity import cosine_near_dups
+
+    pairs = cosine_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.42)
+    return connected_components(pairs)
+
+
+@_q(
+    "q53_time_weighted_avg",
+    # Continuous time-weighted average (TimescaleDB time_weight('linear')
+    # semantics): trapezoid integral of the piecewise-linear series over
+    # each hour / covered duration — the closed-form SQL mirrors the Spark
+    # operator's segment-overlap derivation. Both sides floor-quantize at
+    # 1e-6 (float sum order varies with parallelism).
+    """
+    WITH pts AS (
+      SELECT cast(user_id AS varchar) AS url,
+             cast(floor(epoch(ts)) AS bigint) AS s, avg(value) AS v
+      FROM events WHERE user_id < 20 AND value IS NOT NULL GROUP BY 1, 2),
+    knots AS (
+      SELECT url, s, v,
+             lead(s) OVER (PARTITION BY url ORDER BY s) AS s2,
+             lead(v) OVER (PARTITION BY url ORDER BY s) AS v2
+      FROM pts),
+    seg AS (SELECT url, s AS s1, v AS v1, s2, (v2 - v) / (s2 - s) AS slope
+            FROM knots WHERE s2 IS NOT NULL),
+    expl AS (
+      SELECT url, s1, v1, s2, slope,
+             unnest(generate_series(cast(floor(s1 / 3600) AS bigint) * 3600,
+                                    cast(floor(s2 / 3600) AS bigint) * 3600,
+                                    3600)) AS w
+      FROM seg),
+    ov AS (
+      SELECT url, w,
+             cast(least(s2, w + 3600) - greatest(s1, w) AS double) AS dur,
+             v1 + slope * (greatest(s1, w) - s1) AS va,
+             v1 + slope * (least(s2, w + 3600) - s1) AS vb
+      FROM expl WHERE least(s2, w + 3600) > greatest(s1, w)),
+    agg AS (SELECT url, w, sum(dur) AS cov, sum(dur * (va + vb) / 2) AS integ
+            FROM ov GROUP BY 1, 2)
+    SELECT url, make_timestamp(w * 1000000) AS start,
+           floor(integ / cov * 1e6) / 1e6 AS value
+    FROM agg WHERE cov = 3600
+    """,
+)
+def q53(spark, sf_dir):
+    from timeseries_harmonizer_spark.operators.rollup import rollup_native_twa
+
+    ev = (
+        _t(spark, sf_dir, EV)
+        .where("user_id < 20")
+        .select(
+            F.col("user_id").cast("string").alias("url"),
+            F.col("ts").alias("warc_ts"),
+            F.col("value"),
+        )
+    )
+    return rollup_native_twa(ev, freq_seconds=3600, session_col=None)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

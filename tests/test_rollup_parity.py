@@ -77,3 +77,50 @@ def test_exact_path_gapless_1d_tier(spark, pages, reg, inputs_pdf):
     expected = oracle.harmonize_pages(pages_pdf, reg_pdf, tier.seconds, tier.gap_seconds)
     _compare(pdf[["url", "start", "value"]], expected, tol=1e-9)
     assert pdf["is_real"].notna().all()
+
+
+def test_twa_matches_numpy_trapezoid(spark):
+    """rollup_native_twa vs a numpy trapezoid oracle on irregular data, and
+    the analytic check: a pure linear ramp's TWA is the window midpoint."""
+    from timeseries_harmonizer_spark.operators.rollup import rollup_native_twa
+
+    rng = np.random.default_rng(11)
+    t0 = 1704067200
+    ts = np.sort(rng.choice(np.arange(0, 6 * 3600, 7), size=400, replace=False)) + t0
+    vals = rng.normal(50, 10, size=400).round(3)
+    pdf = pd.DataFrame(
+        {"url": "u", "warc_ts": pd.to_datetime(ts, unit="s"), "value": vals}
+    )
+    got = (
+        rollup_native_twa(spark.createDataFrame(pdf), session_col=None)
+        .orderBy("start")
+        .toPandas()
+    )
+    # numpy oracle: per fully-covered hour, trapezoid integral of the
+    # piecewise-linear interpolant over [w, w+3600] / 3600
+    f = lambda x: np.interp(x, ts.astype(float), vals)
+    exp = []
+    for w in range(t0, t0 + 6 * 3600, 3600):
+        if ts[0] <= w and ts[-1] >= w + 3600:
+            xs = np.unique(np.concatenate(
+                [[w, w + 3600], ts[(ts >= w) & (ts <= w + 3600)].astype(float)]))
+            integ = np.trapz(f(xs), xs)
+            exp.append((w, np.floor(integ / 3600 * 1e6) / 1e6))
+    assert len(got) == len(exp) >= 3
+    np.testing.assert_allclose(
+        got["value"].to_numpy(), [v for _, v in exp], rtol=0, atol=2e-6
+    )
+    # analytic: ramp v(t) = t - t0 over [t0, t0+2h] -> hour k TWA = k*3600+1800
+    ramp = pd.DataFrame(
+        {
+            "url": "r",
+            "warc_ts": pd.to_datetime([t0, t0 + 7200], unit="s"),
+            "value": [0.0, 7200.0],
+        }
+    )
+    r = (
+        rollup_native_twa(spark.createDataFrame(ramp), session_col=None)
+        .orderBy("start")
+        .toPandas()
+    )
+    np.testing.assert_allclose(r["value"].to_numpy(), [1800.0, 5400.0])

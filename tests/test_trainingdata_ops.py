@@ -271,3 +271,19 @@ def test_ivf_partial_probe_recall(spark, emb):
     recall = len(got & truth) / len(truth)
     assert recall >= 0.4, recall
     assert len(got) <= len(truth)  # never more than k per query
+
+
+def test_connected_components_clusters(spark):
+    """Two planted clusters (one a chain — needs >1 propagation round — one
+    a triangle) plus an isolated pair: every node gets the min id of its
+    cluster."""
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 3, 10, 10, 20], "id_b": [2, 3, 4, 11, 12, 21]}
+    )
+    out = (
+        D.connected_components(spark.createDataFrame(pairs))
+        .toPandas()
+        .set_index("id")["component"]
+        .to_dict()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

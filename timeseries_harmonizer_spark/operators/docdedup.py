@@ -334,3 +334,60 @@ def simhash_near_dups(
     return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup clustering: connected components over a near-dup pair list,
+    returning (id, component) with component = the minimum id reachable.
+    This is the canonical "pick one representative per duplicate cluster"
+    step downstream of MinHash / SimHash / embedding-cosine pair finding.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels (one join + one groupBy per
+    round, both keyed on node id), converging in graph-diameter rounds —
+    near-dup graphs are union-of-cliques-ish, so typically 1-3. Lineage is
+    truncated per round (localCheckpoint) so the plan doesn't grow
+    exponentially; the loop is driver-coordinated but each round is a fully
+    distributed job (the classic Pregel-style CC, public algorithm).
+    Stops early when a round changes no labels; max_iter bounds adversarial
+    path graphs (a 10^7-node path would need a large-star/small-star
+    variant instead — documented tradeoff, not a silent cap)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.withColumnRenamed("s", "id")
+            .join(labels, "id")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                F.col("lbl").alias("old_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))

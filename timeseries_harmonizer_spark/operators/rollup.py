@@ -216,6 +216,58 @@ def rollup_native_avg(
     )
 
 
+def rollup_native_twa(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    freq_seconds: int = 3600,
+    session_col: str | None = "session_id",
+) -> DataFrame:
+    """Time-weighted average — the continuous-integral sibling of R2 (the
+    TimescaleDB ``time_weight('linear')`` semantics, public): TWA over a
+    tier window = (1/T) * integral of the piecewise-linear v(t) between
+    knots, i.e. trapezoid areas over window overlaps, NOT the discrete
+    1s-grid mean. Same segment-explode shape as the other native rollups
+    (each inter-knot segment lands only in the windows it overlaps; one
+    groupBy merges), windows emit iff fully covered."""
+    seg0 = _knots(df, key, ts_col, value, session_col).where(
+        F.col("__s2").isNotNull()
+    )
+    Fs = freq_seconds
+    slope = (F.col("__v2") - F.col("__v")) / (F.col("__s2") - F.col("__s"))
+    win0 = F.floor(F.col("__s") / Fs) * Fs
+    win1 = F.floor(F.col("__s2") / Fs) * Fs
+    seg = seg0.select(
+        "__k",
+        F.col("__s").alias("__s1"),
+        F.col("__s2").alias("__e"),
+        F.col("__v").alias("__v1"),
+        slope.alias("__slope"),
+        F.explode(F.sequence(win0, win1, F.lit(Fs))).alias("__w"),
+    )
+    a = F.greatest(F.col("__s1"), F.col("__w"))
+    b = F.least(F.col("__e"), F.col("__w") + Fs)
+    dur = (b - a).cast("double")
+    va = F.col("__v1") + F.col("__slope") * (a - F.col("__s1"))
+    vb = F.col("__v1") + F.col("__slope") * (b - F.col("__s1"))
+    seg = (
+        seg.withColumn("__dur", dur)
+        .withColumn("__area", dur * (va + vb) / 2.0)
+        .where(F.col("__dur") > 0)
+    )
+    return (
+        seg.groupBy("__k", "__w")
+        .agg(F.sum("__dur").alias("__cov"), F.sum("__area").alias("__integ"))
+        .where(F.col("__cov") == Fs)
+        .select(
+            F.col("__k").alias(key),
+            F.timestamp_seconds(F.col("__w")).alias("start"),
+            (F.floor(F.col("__integ") / F.col("__cov") * 1e6) / 1e6).alias(value),
+        )
+    )
+
+
 def rollup_native_last(
     df: DataFrame,
     key: str = "url",
