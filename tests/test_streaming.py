@@ -157,6 +157,64 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got.iloc[1]["n_points"] == 10 and got.iloc[1]["value_sum"] == 15.0
 
 
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream time-bounded join == the batch interval_join pair set
+    on the same drained input."""
+    from timeseries_harmonizer_spark.operators.joins import interval_join
+    from timeseries_harmonizer_spark.streaming.rollup_stream import (
+        streaming_interval_join,
+    )
+
+    psrc = str(tmp_path / "pts6")
+    isrc = str(tmp_path / "iv6")
+    out = str(tmp_path / "out6")
+    ckpt = str(tmp_path / "ckpt6")
+    t0 = pd.Timestamp("2024-01-01")
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    pts = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b"], 200),
+            "ts": t0 + pd.to_timedelta(rng.integers(0, 40000, 200), unit="s"),
+            "pval": np.arange(200),
+        }
+    )
+    s = np.sort(rng.integers(0, 36000, 30))
+    iv = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b"], 30),
+            "start": t0 + pd.to_timedelta(s, unit="s"),
+            "end": t0 + pd.to_timedelta(s + rng.integers(300, 6000, 30), unit="s"),
+            "iv_id": np.arange(30),
+        }
+    )
+    spark.createDataFrame(pts).write.parquet(psrc)
+    spark.createDataFrame(iv).write.parquet(isrc)
+    j = streaming_interval_join(
+        read_pages_stream(spark, psrc),
+        read_pages_stream(spark, isrc),
+        watermark="0 seconds",
+        max_interval="2 hours",
+    ).select("pval", "iv_id")
+    run_available_now(j, out, ckpt)
+    got = set(map(tuple, spark.read.parquet(out).toPandas().to_numpy().tolist()))
+    exp = set(
+        map(
+            tuple,
+            interval_join(
+                spark.createDataFrame(pts), spark.createDataFrame(iv),
+                by="key", bucket_seconds=3600,
+            )
+            .select("pval", "iv_id")
+            .toPandas()
+            .to_numpy()
+            .tolist(),
+        )
+    )
+    assert got == exp and len(got) > 20
+
+
 def test_streaming_keep_last_amended_replays(spark, tmp_path):
     """order_col mode: replays that AMEND the payload — the last write (by
     ingest_pos) must win, exactly like batch keep_last. The default

@@ -208,6 +208,40 @@ def streaming_sessionize(
     )
 
 
+def streaming_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str = "key",
+    watermark: str = "2 hours",
+    max_interval: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (point, interval) pair with
+    ``start <= point_ts <= end`` and equal ``by`` keys, both sides live
+    streams. This is the one range join Structured Streaming supports
+    natively — an equi-join on the key plus a time-range condition, with
+    watermarks on BOTH sides so the join state is evictable: a buffered
+    point can only match intervals starting within ``max_interval`` before
+    it, which bounds how long either side is retained. (The batch twin is
+    operators/joins.interval_join, which explodes buckets instead — in
+    streaming the range condition itself is the state-cleanup contract, so
+    no explode is needed.)"""
+    p = points.withWatermark(point_ts, watermark).alias("p")
+    iv = intervals.withWatermark(start_col, watermark).alias("i")
+    cond = (
+        (F.col(f"p.{by}") == F.col(f"i.{by}"))
+        & (F.col(f"p.{point_ts}") >= F.col(f"i.{start_col}"))
+        & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_col}"))
+        & (
+            F.col(f"i.{start_col}")
+            >= F.col(f"p.{point_ts}") - F.expr(f"INTERVAL {max_interval}")
+        )
+    )
+    return p.join(iv, cond)
+
+
 def run_available_now(
     agg: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
 ) -> None:
