@@ -1916,6 +1916,102 @@ def q53(spark, sf_dir):
     return rollup_native_twa(ev, freq_seconds=3600, session_col=None)
 
 
+@_q(
+    "q54_full_training_pipeline",
+    # The full composed training-data pipeline: lang-ID -> repetition
+    # quality filter (Gopher) -> corpus boilerplate removal (computed over
+    # the survivors) -> exact dedup on the CLEANED text -> token
+    # accounting. One row out; every stage's SQL mirrors its operator.
+    r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['the','and','of','to','a'])) AS en,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['el','la','de','que','y'])) AS es,
+             len(list_intersect(string_split(lower(text), ' '),
+                 ['der','die','und','das','ist'])) AS de,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents),
+    rep AS (
+      SELECT doc_id, toks, en, es, de,
+             round(1.0 - len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS dwf,
+             CAST(greatest(len(toks) - 1, 0) AS INTEGER) AS nbg
+      FROM d),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM rep)),
+    top AS (
+      SELECT doc_id, max(c) AS top_n
+      FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+      GROUP BY 1),
+    kept AS (
+      SELECT r.doc_id, r.toks
+      FROM rep r LEFT JOIN top USING (doc_id)
+      WHERE greatest(en, es, de) > 0 AND en = greatest(en, es, de)
+        AND dwf <= 0.7
+        AND coalesce(round(top.top_n / nullif(r.nbg, 0), 6) <= 0.18, TRUE)),
+    seg AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(toks) / 8.0) AS INT) - 1, 0))) AS i
+            FROM kept)),
+    dfreq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+    cleanrows AS (
+      SELECT s.doc_id, s.pos, s.seg, d2.df <= 2 AS keep
+      FROM seg s JOIN dfreq d2 USING (seg)),
+    cleaned AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos), '')
+               AS clean_text
+      FROM cleanrows GROUP BY doc_id),
+    acct AS (
+      SELECT md5(regexp_replace(lower(trim(clean_text)), '\s+', ' ', 'g')) AS fp,
+             len(regexp_split_to_array(trim(clean_text), '\s+')) AS ws
+      FROM cleaned),
+    uniq AS (SELECT fp, count(*) AS fp_rows, min(ws) AS ws FROM acct GROUP BY fp)
+    SELECT CAST(sum(fp_rows) AS BIGINT) AS n_kept,
+           count(*) AS n_unique,
+           CAST(sum(ws) AS BIGINT) AS total_ws_tokens
+    FROM uniq
+    """,
+)
+def q54(spark, sf_dir):
+    """End-to-end training-data pipeline composed from the engine's own
+    operators; single plan, no driver-side actions."""
+    from timeseries_harmonizer_spark.functions.textstats import (
+        with_lang_guess,
+        with_repetition_stats,
+    )
+    from timeseries_harmonizer_spark.operators.docdedup import (
+        boilerplate_segment_filter,
+    )
+
+    d = with_repetition_stats(with_lang_guess(_t(spark, sf_dir, "documents")))
+    kept = d.where(
+        (F.col("lang_guess") == "en")
+        & (F.col("dup_word_frac") <= 0.7)
+        & F.coalesce(F.col("top_bigram_frac") <= 0.18, F.lit(True))
+    ).select("doc_id", "text")
+    cleaned = boilerplate_segment_filter(kept, seg_words=8, max_df=2)
+    acct = cleaned.select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("clean_text")), r"\s+", " ")
+        ).alias("fp"),
+        F.size(F.split(F.trim("clean_text"), r"\s+")).alias("ws"),
+    )
+    per_fp = acct.groupBy("fp").agg(
+        F.count("*").alias("fp_rows"), F.min("ws").alias("ws")
+    )
+    return per_fp.agg(
+        F.sum("fp_rows").alias("n_kept"),
+        F.count("*").alias("n_unique"),
+        F.sum("ws").cast("long").alias("total_ws_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -145,6 +145,43 @@ def test_asof_join_null_payload_is_atomic(spark):
     assert pd.isna(got_tol.loc[1, "price_r"]) and pd.isna(got_tol.loc[1, "qty_r"])
 
 
+def test_asof_join_randomized_nulls_all_directions(spark):
+    """Seeded randomized parity vs merge_asof with NULL payloads injected —
+    the struct carry must reproduce pandas exactly in every direction."""
+    for seed in (1, 8):
+        rng = np.random.default_rng(seed)
+        lt = pd.to_datetime(
+            1704067200 + np.sort(rng.integers(0, 20000, 120)), unit="s"
+        )
+        rt = pd.to_datetime(
+            1704067200 + np.sort(rng.integers(-2000, 18000, 60)), unit="s"
+        )
+        price = rng.normal(10, 2, 60).round(3)
+        price[rng.random(60) < 0.3] = np.nan  # NULL payloads
+        left = pd.DataFrame(
+            {"key": rng.choice(["a", "b"], 120), "ts": lt, "lval": np.arange(120.0)}
+        )
+        right = pd.DataFrame(
+            {"key": rng.choice(["a", "b"], 60), "ts": rt, "price": price}
+        )
+        sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+        for direction in ("backward", "forward", "nearest"):
+            got = (
+                asof_join(sl, sr, on="ts", by="key", right_cols=["price"],
+                          direction=direction)
+                .toPandas()
+                .sort_values(["key", "ts", "lval"])
+                .reset_index(drop=True)
+            )
+            exp = _pandas_asof(left, right, direction=direction)
+            np.testing.assert_allclose(
+                got["price_r"].to_numpy(dtype=float),
+                exp["price_r"].to_numpy(dtype=float),
+                rtol=0, atol=0, equal_nan=True,
+                err_msg=f"seed={seed} direction={direction}",
+            )
+
+
 def test_asof_join_plans_no_nested_loop(spark):
     left, right = _fixture()
     q = asof_join(spark.createDataFrame(left), spark.createDataFrame(right),

@@ -114,22 +114,23 @@ def decompress_points(payloads: DataFrame) -> DataFrame:
 
     def fn(it):
         for pdf in it:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                ts = C.decode_timestamps(bytes(row.ts_blob))
-                vals = C.decode_floats(bytes(row.val_blob))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "url": row.url,
-                            "tier": row.tier,
-                            "start": pd.to_datetime(ts, unit="s"),
-                            "value": vals,
-                        }
-                    )
-                )
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                columns=["url", "tier", "start", "value"]
+            if not len(pdf):
+                continue
+            # one decode call per blob (the codec boundary), but ONE output
+            # frame per Arrow batch: repeat the per-blob keys by decoded
+            # length instead of building a pandas frame per row (a frame per
+            # tiny blob dominated this stage the same way per-group encoder
+            # calls dominated the encode side)
+            ts_parts = [C.decode_timestamps(bytes(b)) for b in pdf["ts_blob"]]
+            val_parts = [C.decode_floats(bytes(b)) for b in pdf["val_blob"]]
+            lens = np.array([len(t) for t in ts_parts], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "url": np.repeat(pdf["url"].to_numpy(), lens),
+                    "tier": np.repeat(pdf["tier"].to_numpy(), lens),
+                    "start": pd.to_datetime(np.concatenate(ts_parts), unit="s"),
+                    "value": np.concatenate(val_parts),
+                }
             )
 
     return payloads.mapInPandas(fn, out_schema)
