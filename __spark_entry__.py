@@ -2012,6 +2012,55 @@ def q54(spark, sf_dir):
     )
 
 
+@_q(
+    "q55_token_budget_mix",
+    # Training-mix quota sampling: per language, keep docs longest-first
+    # (id tiebreak) until the 12k-token budget would be exceeded; report
+    # the resulting mix. Integer sort keys -> deterministic in both engines.
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN greatest(en, es, de) = 0 THEN 'und'
+                  WHEN en = greatest(en, es, de) THEN 'en'
+                  WHEN es = greatest(en, es, de) THEN 'es'
+                  ELSE 'de' END AS lang_guess,
+             ws
+      FROM (SELECT doc_id,
+                   len(list_intersect(string_split(lower(text), ' '),
+                       ['the','and','of','to','a'])) AS en,
+                   len(list_intersect(string_split(lower(text), ' '),
+                       ['el','la','de','que','y'])) AS es,
+                   len(list_intersect(string_split(lower(text), ' '),
+                       ['der','die','und','das','ist'])) AS de,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS ws
+            FROM documents)),
+    r AS (
+      SELECT lang_guess, ws,
+             sum(ws) OVER (PARTITION BY lang_guess
+                           ORDER BY ws DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM d)
+    SELECT lang_guess, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS total_tokens
+    FROM r WHERE cum <= 12000 GROUP BY lang_guess
+    """,
+)
+def q55(spark, sf_dir):
+    from timeseries_harmonizer_spark.functions.textstats import (
+        token_budget_sample,
+        with_lang_guess,
+        with_token_counts,
+    )
+
+    d = with_lang_guess(with_token_counts(_t(spark, sf_dir, "documents")))
+    mix = token_budget_sample(d, budget_tokens=12000)
+    return mix.groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -287,3 +287,26 @@ def test_connected_components_clusters(spark):
         .to_dict()
     )
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_token_budget_sample(spark):
+    """Strict-prefix quota: per group, docs keep in (tokens desc, id) order
+    while the running total stays within budget; later smaller docs do NOT
+    backfill once the prefix stops."""
+    from timeseries_harmonizer_spark.functions.textstats import token_budget_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 10, 11],
+            "lang_guess": ["en"] * 4 + ["es"] * 2,
+            "ws_tokens": [5, 4, 3, 2, 7, 9],
+        }
+    )
+    out = (
+        token_budget_sample(spark.createDataFrame(pdf), budget_tokens=10)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    # en: 5+4=9 <= 10, +3 would be 12 -> prefix stops (doc 4 not backfilled)
+    # es: 9 then 9+7=16 > 10 -> only the longest survives
+    assert out["doc_id"].tolist() == [1, 2, 11]

@@ -132,6 +132,33 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    by: str = "lang_guess",
+    tokens: str = "ws_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quota sampling for training mixes: within each ``by`` group (e.g.
+    language), keep documents in deterministic priority order (most tokens
+    first, id as tiebreak) until the group's cumulative token count would
+    exceed ``budget_tokens``. One window cumsum per group — the shuffle key
+    is the group, and the kept set is reproducible run to run (integer sort
+    keys, no float-rank ties)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(tokens).desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cum", F.sum(tokens).over(w))
+        .where(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )
+
+
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-near-dup key (a rolling-hash analog that both engines share)."""
