@@ -145,3 +145,39 @@ def test_boilerplate_filter_never_shuffles_text(spark):
     for m in blocks:
         cols = {c.strip().split("#")[0] for c in m.group(1).split(",")}
         assert "text" not in cols, plan
+
+
+def test_bucketed_table_kills_cross_job_shuffles(spark, tmp_path):
+    """write_bucketed/read_bucketed: at-rest bucketing must satisfy the
+    downstream distribution requirements — a url-keyed aggregate over the
+    bucketed table plans with ZERO exchanges, and a bucketed-bucketed
+    equi-join sort-merges with no shuffle on either side (broadcast
+    disabled to prove it's the bucketing, not a small-table fallback)."""
+    import pandas as pd
+
+    from timeseries_harmonizer_spark.sources.tables import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i % 20}" for i in range(2000)],
+            "start": pd.date_range("2024-01-01", periods=2000, freq="1min"),
+            "value": 1.0,
+        }
+    )
+    write_bucketed(spark.createDataFrame(pdf), "pts_bkt_test", n_buckets=8)
+    t = read_bucketed(spark, "pts_bkt_test")
+    agg_plan = _plan(t.groupBy("url").sum("value"))
+    assert "Exchange" not in agg_plan, agg_plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_plan = _plan(
+            t.alias("a").join(read_bucketed(spark, "pts_bkt_test").alias("b"), "url")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in join_plan, join_plan
+    assert "Exchange" not in join_plan, join_plan

@@ -147,5 +147,37 @@ class Catalog:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._data_dir(name))
 
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    bucket_cols: list[str] | tuple[str, ...] = ("url",),
+    sort_cols: list[str] | tuple[str, ...] = ("url", "start"),
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on its series key — the
+    cross-JOB co-location lever: a plain parquet file loses its partitioning
+    the moment it's re-read, so every later job pays the url shuffle again,
+    while a bucketed table read via the catalog satisfies ClusteredDistribution
+    on the bucket columns directly (groupBy(url, ...) aggregates with ZERO
+    exchanges, bucketed-bucketed equi-joins sort-merge without a shuffle on
+    either side — pinned by tests/test_plan_quality.py). This is the
+    Iceberg/Hive bucketing discipline expressed through Spark's managed-table
+    API; n_buckets should match the engine's N_BUCKETS so in-job and at-rest
+    partitioning agree."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table THROUGH the catalog (spark.read.parquet on the
+    underlying files would silently drop the bucket spec)."""
+    return spark.table(table)
+
     def exists(self, name: str) -> bool:
         return os.path.exists(self._snap_file(name))
