@@ -59,3 +59,36 @@ def test_get_timeseries_components():
     )
     comps = get_timeseries_components(xml)
     assert comps == {"A": "mh", "B": "mh", "CO2_FACTOR": "mc", "3": "mv"}
+
+
+def test_strip_property_namespace(spark):
+    """P8: ontology URIs reduce to their local name; bare names and double
+    application are no-ops (the pipeline applies it unconditionally)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timeseries_harmonizer_spark.functions.extract import (
+        strip_property_namespace,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "p": [
+                "https://example.org/ontology#EnergyConsumptionGridElectricity",
+                "https://example.org/core/Power",
+                "AlreadyBare",
+            ]
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            strip_property_namespace(F.col("p")).alias("one"),
+            strip_property_namespace(strip_property_namespace(F.col("p"))).alias("twice"),
+        )
+        .toPandas()
+    )
+    assert out["one"].tolist() == [
+        "EnergyConsumptionGridElectricity", "Power", "AlreadyBare",
+    ]
+    assert out["one"].tolist() == out["twice"].tolist()

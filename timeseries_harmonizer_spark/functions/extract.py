@@ -63,6 +63,17 @@ def typed_value_extract(
     return df.withColumn(out_col, value)
 
 
+def strip_property_namespace(c) -> F.Column:
+    """P8 — reduce a property URI to its ontology local name: the text
+    after the last '#' or '/' (the RDF local-name convention). The
+    reference strips its three ontology URL prefixes one by one
+    (reference harmonizers/__init__.py:228-231; also :342-345, :449-452,
+    pv_postprocess.py:95-96); taking the fragment/local name is the general
+    form and yields identical results for any such prefix. Idempotent:
+    already-bare names contain no '#'/'/' and pass through unchanged."""
+    return F.element_at(F.split(c, r"[#/]"), -1)
+
+
 def month_floor_shift(
     df: DataFrame, ts_col: str = "warc_ts", tz: str = "Europe/Madrid"
 ) -> DataFrame:

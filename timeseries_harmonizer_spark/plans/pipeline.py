@@ -134,11 +134,16 @@ def shape_points(
     """S9: the harmonized point record (reference lib/__init__.py:133-166):
     end = start + freq - 1s, value round(5), series hash + property from the
     registry, storage bucket id."""
+    from timeseries_harmonizer_spark.functions.extract import (
+        strip_property_namespace,
+    )
+
     out = points.join(F.broadcast(registry.select("url", "series_hash", "property")), "url")
     return out.select(
         F.col("url"),
         F.col("series_hash"),
-        F.col("property"),
+        # P8: URI -> ontology local name (idempotent for bare names)
+        strip_property_namespace(F.col("property")).alias("property"),
         F.lit(tier.name).alias("tier"),
         F.col("start"),
         (F.col("start") + F.expr(f"INTERVAL {tier.seconds - 1} SECONDS")).alias("end"),
