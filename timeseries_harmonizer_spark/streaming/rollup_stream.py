@@ -242,6 +242,39 @@ def streaming_interval_join(
     return p.join(iv, cond)
 
 
+def run_compressed_sink(
+    points: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    tier_name: str = "1h",
+    key: str = "url",
+    start_col: str = "start",
+    value: str = "value",
+) -> None:
+    """Stream finalized tier points into Gorilla/delta-of-delta compressed
+    payload blobs: each micro-batch runs the batch compress operator via
+    foreachBatch (exactly-once via the sink checkpoint + availableNow), so
+    the streaming path lands the SAME at-rest payload format as the batch
+    job — one codec, one reader. Append-mode upstream means only
+    watermark-finalized windows ever reach a blob, so blobs never need
+    rewriting for late data."""
+    from timeseries_harmonizer_spark.operators.compress import compress_points
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        compress_points(
+            batch_df, tier_name, key=key, start_col=start_col, value=value,
+            partitions=batch_df.sparkSession.sparkContext.defaultParallelism,
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        points.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     agg: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
 ) -> None:
