@@ -166,6 +166,18 @@ def write_bucketed(
     Iceberg/Hive bucketing discipline expressed through Spark's managed-table
     API; n_buckets should match the engine's N_BUCKETS so in-job and at-rest
     partitioning agree."""
+    import shutil
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a managed-table LOCATION can outlive its catalog entry (fresh
+        # session, old warehouse dir) — saveAsTable then refuses with
+        # LOCATION_ALREADY_EXISTS; drop both the entry and any stale dir
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(wh.removeprefix("file:"), table.split(".")[-1])
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, *bucket_cols)
