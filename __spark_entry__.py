@@ -2061,6 +2061,64 @@ def q55(spark, sf_dir):
     )
 
 
+@_q(
+    "q56_deterministic_sample",
+    # Reproducible sampling: keep docs whose portable 64-bit hash lands in
+    # the first 10 of 100 buckets — unlike rand()/.sample(), the kept set
+    # is a pure function of the ids, so reruns, engines, and resumed jobs
+    # agree row for row (the md5-derived hash family both engines share).
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE ((md5_number_lower('smp:' || doc_id::varchar)
+            & 9223372036854775807)::BIGINT) % 100 < 10
+    """,
+)
+def q56(spark, sf_dir):
+    h = _md5_lower64_masked(
+        F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.pmod(h, F.lit(100)) < 10)
+        .select("doc_id", "n_chars")
+    )
+
+
+@_q(
+    "q57_shard_daily_stats",
+    # The hot-domain / shard-axis rollup shape: group fine-grained series
+    # keys into coarse shards (user_id % 16 — the driver tables carry no
+    # URL column, so the shard key stands in for the domain) and compute
+    # per-shard-day counts, a distinct-key count, and a value sum. This is
+    # the aggregation whose map-side partial + two-level distinct planning
+    # keeps hot shards from melting a reducer.
+    """
+    SELECT user_id % 16 AS shard, date_trunc('day', ts) AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 4) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q57(spark, sf_dir):
+    """Shard-level daily rollup (the hot-domain aggregation shape): partial
+    aggregation map-side, two-level distinct via Spark's planner."""
+    ev = _t(spark, sf_dir, EV)
+    return (
+        ev.groupBy(
+            F.pmod(F.col("user_id"), F.lit(16)).alias("shard"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
