@@ -310,3 +310,35 @@ def test_token_budget_sample(spark):
     # en: 5+4=9 <= 10, +3 would be 12 -> prefix stops (doc 4 not backfilled)
     # es: 9 then 9+7=16 > 10 -> only the longest survives
     assert out["doc_id"].tolist() == [1, 2, 11]
+
+
+def test_token_budget_sample_equals_naive_prefix(spark):
+    """The histogram two-phase plan must pick EXACTLY the naive
+    (tokens desc, id asc) prefix on random data with heavy length ties."""
+    from pyspark.sql import Window as W
+
+    from timeseries_harmonizer_spark.functions.textstats import token_budget_sample
+
+    rng = np.random.default_rng(6)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(400),
+            "lang_guess": rng.choice(["en", "es", "de"], 400),
+            "ws_tokens": rng.integers(1, 12, 400),  # many exact ties
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = set(
+        token_budget_sample(df, budget_tokens=300).toPandas()["doc_id"]
+    )
+    w = (
+        W.partitionBy("lang_guess")
+        .orderBy(F.col("ws_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    naive = (
+        df.withColumn("__cum", F.sum("ws_tokens").over(w))
+        .where(F.col("__cum") <= 300)
+        .toPandas()
+    )
+    assert got == set(naive["doc_id"]) and len(got) > 50

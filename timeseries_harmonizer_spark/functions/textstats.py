@@ -142,21 +142,51 @@ def token_budget_sample(
     """Quota sampling for training mixes: within each ``by`` group (e.g.
     language), keep documents in deterministic priority order (most tokens
     first, id as tiebreak) until the group's cumulative token count would
-    exceed ``budget_tokens``. One window cumsum per group — the shuffle key
-    is the group, and the kept set is reproducible run to run (integer sort
-    keys, no float-rank ties)."""
+    exceed ``budget_tokens``. The kept set is reproducible run to run
+    (integer sort keys, no float-rank ties).
+
+    Scale shape: a naive cumsum window over (group) is a single-partition
+    sort PER GROUP — with ~10 languages over 10^12 docs that's 10 global
+    sorts. Instead: (1) aggregate a per-(group, token-count) histogram
+    (tiny — bounded by distinct lengths); (2) a cumsum over the histogram
+    (descending length) finds, per group, the lengths that are FULLY kept
+    and the single boundary length where the budget crosses; (3) fully-kept
+    lengths semi-join back (no sort at all); the id-ordered window runs
+    only over the boundary length's docs. Result is identical to the naive
+    prefix; the only large sort left is over one length-class per group
+    (degenerate only if the whole corpus shares one exact length)."""
     from pyspark.sql import Window as W
 
-    w = (
+    hist = df.groupBy(by, tokens).agg(F.sum(tokens).alias("__bucket_sum"))
+    wh = (
         W.partitionBy(by)
-        .orderBy(F.col(tokens).desc(), F.col(id_col).asc())
+        .orderBy(F.col(tokens).desc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    return (
-        df.withColumn("__cum", F.sum(tokens).over(w))
-        .where(F.col("__cum") <= budget_tokens)
-        .drop("__cum")
+    hist = hist.withColumn("__cum_after", F.sum("__bucket_sum").over(wh))
+    hist = hist.withColumn(
+        "__cum_before", F.col("__cum_after") - F.col("__bucket_sum")
     )
+    full_buckets = hist.where(F.col("__cum_after") <= budget_tokens).select(
+        by, tokens
+    )
+    boundary = hist.where(
+        (F.col("__cum_before") <= budget_tokens)
+        & (F.col("__cum_after") > budget_tokens)
+    ).select(by, tokens, "__cum_before")
+    kept_full = df.join(full_buckets, [by, tokens], "left_semi")
+    wb = (
+        W.partitionBy(by)  # only boundary-length docs reach this window
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    kept_boundary = (
+        df.join(boundary, [by, tokens])
+        .withColumn("__cum", F.col("__cum_before") + F.sum(tokens).over(wb))
+        .where(F.col("__cum") <= budget_tokens)
+        .drop("__cum", "__cum_before")
+    )
+    return kept_full.unionByName(kept_boundary)
 
 
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
