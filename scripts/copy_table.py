@@ -38,8 +38,16 @@ from timeseries_harmonizer_spark.session import get_spark  # noqa: E402
 from timeseries_harmonizer_spark.sources.tables import Catalog  # noqa: E402
 
 
-def _selector(args):
+def _selector(args, with_bucket: bool = False):
     cond = F.col("url") == args.url
+    if with_bucket:
+        # constant-foldable bucket predicate -> partition pruning on
+        # bucket-partitioned tables (export/migrate read 1/N_BUCKETS of
+        # files; delete reads everything anyway to rewrite the complement)
+        cond = cond & (
+            F.col("bucket")
+            == F.pmod(F.xxhash64(F.lit(args.url)), F.lit(N_BUCKETS)).cast("int")
+        )
     if args.ts_ini:
         cond = cond & (F.col("start") >= F.lit(args.ts_ini).cast("timestamp"))
     if args.ts_end:
@@ -59,6 +67,9 @@ def main(argv=None) -> int:
     ap.add_argument("--to-url", default=None, help="migrate: new series key")
     ap.add_argument("--series-hash", default=None,
                     help="migrate: override the series_hash column if present")
+    ap.add_argument("--engine-buckets", action="store_true",
+                    help="prune by bucket partition (ONLY for engine points "
+                         "tables where bucket = pmod(xxhash64(url), N_BUCKETS))")
     ap.add_argument("--master", default="local[4]")
     args = ap.parse_args(argv)
 
@@ -81,11 +92,18 @@ def main(argv=None) -> int:
         if glob.glob(os.path.join(live, "bucket=*")) and "bucket" in df.columns
         else None
     )
+    # bucket pruning is OPT-IN: it is only correct when the table's bucket
+    # column is pmod(xxhash64(url), N_BUCKETS) (true for engine points
+    # tables written by shape_points, NOT for arbitrary bucket columns —
+    # a wrong assumption would silently select zero rows)
+    sel_pruned = _selector(
+        args, with_bucket=args.engine_buckets and part is not None
+    )
 
     if args.action == "export":
         if not args.out:
             ap.error("export requires --out")
-        picked = df.where(sel)
+        picked = df.where(sel_pruned)
         n = picked.count()
         picked.write.mode("overwrite").parquet(args.out)
         print(f"exported {n} rows of {args.url} to {args.out}")
@@ -100,7 +118,7 @@ def main(argv=None) -> int:
     # migrate: re-key and append as a new snapshot
     if not args.to_url:
         ap.error("migrate requires --to-url")
-    moved = df.where(sel).withColumn("url", F.lit(args.to_url))
+    moved = df.where(sel_pruned).withColumn("url", F.lit(args.to_url))
     if "bucket" in moved.columns:
         moved = moved.withColumn(
             "bucket",

@@ -93,7 +93,14 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    spark = get_spark(app_name="validate", master="local[8]", shuffle_partitions=8,
+    # VALIDATE_CPUS stress-tests order-sensitive float aggregations: the
+    # driver's parallelism is unknown, so a query must hash-match at ANY
+    # core/shuffle count, not just the default 8
+    import os
+
+    cpus = int(os.environ.get("VALIDATE_CPUS", "8"))
+    spark = get_spark(app_name="validate", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = {}
