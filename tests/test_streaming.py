@@ -157,6 +157,50 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got.iloc[1]["n_points"] == 10 and got.iloc[1]["value_sum"] == 15.0
 
 
+def test_streaming_sessionize_out_of_order_across_triggers(spark, tmp_path):
+    """Cross-trigger disorder: a later trigger delivers a row OLDER than
+    the carried session's end, and a further row whose in-batch gap is too
+    wide but which the carried summary bridges — both must merge into one
+    session, exactly as batch sessionize over the full sorted data."""
+    from timeseries_harmonizer_spark.streaming.rollup_stream import (
+        streaming_sessionize,
+    )
+
+    src = str(tmp_path / "src8")
+    out = str(tmp_path / "out8")
+    ckpt = str(tmp_path / "ckpt8")
+    t0 = pd.Timestamp("2024-01-01 00:00")
+    f1 = pd.DataFrame(
+        {"url": "u", "warc_ts": pd.date_range(t0, periods=60, freq="1min"),
+         "value": 1.0}
+    )
+    f2 = pd.DataFrame(
+        {"url": "u",
+         "warc_ts": [t0 + pd.Timedelta(minutes=30),    # older than carried end
+                     t0 + pd.Timedelta(minutes=105)],  # bridged only via carried
+         "value": 2.0}
+    )
+    f3 = pd.DataFrame(
+        {"url": "u", "warc_ts": [t0 + pd.Timedelta(hours=5)], "value": 3.0}
+    )
+
+    def drain():
+        q = streaming_sessionize(
+            read_pages_stream(spark, src), gap_seconds=3600, watermark="6 hours"
+        )
+        run_available_now(q, out, ckpt)
+
+    for f in (f1, f2, f3):
+        spark.createDataFrame(f).write.mode("append").parquet(src)
+        drain()
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 1  # ONE merged session closed by f3's wide gap
+    r = got.iloc[0]
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + pd.Timedelta(minutes=105)
+    assert r["n_points"] == 62 and r["value_sum"] == 64.0
+
+
 def test_streaming_compressed_sink_roundtrip(spark, tmp_path):
     """Streaming aggregate -> Gorilla blob sink: decompressing the blobs
     written by the stream reproduces the finalized windows the plain

@@ -149,30 +149,36 @@ def streaming_sessionize(
         pdf = pdf.sort_values(ts_col)
         ts = (pdf[ts_col].astype("int64") // 10**9).to_numpy()
         vals = pdf[value].to_numpy(dtype="float64")
-        # carried open session (if any) prepends as a pseudo-segment
-        if state.exists:
-            c_start, c_last, c_n, c_vsum = state.get
-        else:
-            c_start = c_last = None
-            c_n, c_vsum = 0, 0.0
-        # session boundaries inside the batch
+        # in-batch session boundaries (sorted order)
         brk = np.flatnonzero(np.diff(ts) > gap_seconds) + 1
         starts = np.concatenate(([0], brk))
         ends = np.concatenate((brk, [len(ts)]))
+        # One ordered pass over (carried summary, then batch groups),
+        # merging into the open session whenever group.start is within gap
+        # of the open session's (growing) last. This also handles
+        # out-of-order arrivals across triggers: a batch row OLDER than the
+        # carried end merges (negative gap), and a later group that is
+        # bridged by the carried summary's span unites with it even though
+        # the in-batch split saw a wider gap. (With only a summary in
+        # state, rows older than carried_start - gap start their own
+        # earlier session — interior points that might have bridged them
+        # are no longer available; the watermark keeps that case rare.)
         out = []
-        for i, (a, b) in enumerate(zip(starts, ends)):
-            s_start, s_last = int(ts[a]), int(ts[b - 1])
-            s_n, s_vsum = int(b - a), float(np.nansum(vals[a:b]))
-            if i == 0 and c_last is not None:
-                if s_start - c_last <= gap_seconds:
-                    # extends the carried session
-                    s_start, s_n, s_vsum = c_start, c_n + s_n, c_vsum + s_vsum
-                else:
-                    out.append((c_start, c_last, c_n, c_vsum))
-            if b < len(ts):
-                out.append((s_start, s_last, s_n, s_vsum))  # closed in-batch
+        open_s = tuple(state.get) if state.exists else None
+        for a, b in zip(starts, ends):
+            g = (int(ts[a]), int(ts[b - 1]), int(b - a), float(np.nansum(vals[a:b])))
+            if open_s is not None and g[0] - open_s[1] <= gap_seconds:
+                open_s = (
+                    min(open_s[0], g[0]),
+                    max(open_s[1], g[1]),
+                    open_s[2] + g[2],
+                    open_s[3] + g[3],
+                )
             else:
-                c_start, c_last, c_n, c_vsum = s_start, s_last, s_n, s_vsum
+                if open_s is not None:
+                    out.append(open_s)
+                open_s = g
+        c_start, c_last, c_n, c_vsum = open_s
         # keep the trailing session open; close it NOW if the watermark has
         # already passed its deadline (EventTimeTimeout must be > watermark)
         deadline_ms = c_last * 1000 + gap_ms
