@@ -92,3 +92,27 @@ def test_strip_property_namespace(spark):
         "EnergyConsumptionGridElectricity", "Power", "AlreadyBare",
     ]
     assert out["one"].tolist() == out["twice"].tolist()
+
+
+def test_pyfiles_artifact_importable(tmp_path):
+    """The --py-files zip must be importable standalone (fresh interpreter
+    path with ONLY the zip), proving the package has no repo-relative
+    imports that would break on a cluster."""
+    import subprocess
+    import sys
+
+    from scripts.package_pyfiles import build
+
+    out = build(str(tmp_path))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import timeseries_harmonizer_spark as t; "
+        "from timeseries_harmonizer_spark.operators.joins import asof_join; "
+        "from timeseries_harmonizer_spark.plans.formula import FormulaEngine; "
+        "print('zip-import-ok')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code, out],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert "zip-import-ok" in r.stdout, r.stderr
