@@ -130,3 +130,45 @@ def test_run_tier_rejects_calendar(spark, pages, reg):
 
     with pytest.raises(ValueError, match="calendar"):
         run_tier(pages, reg, "P1M")
+
+
+def test_tier_cascade_conserves_sum(spark):
+    """Full cascade 1m -> 1h -> 1d -> P1M with per-stage LWW stores:
+    at every stage, swept windows are complete (value 60/1440/days*1440)
+    and the total of (all coarse stores + retained fine rows) equals the
+    original minute count — nothing is lost or double-counted, even when
+    the coarser sweeps run with a far-future `now` (the data-completeness
+    cap stops a sweep from outrunning what the finer tier delivered)."""
+    idx = pd.date_range("2024-04-01", periods=30 * 1440, freq="1min")
+    total = float(len(idx))
+    pts_1m = spark.createDataFrame(
+        pd.DataFrame({"url": "u", "start": idx, "value": 1.0, "agg_func": "SUM"})
+    )
+    now = idx[-1]
+    h_coarse, m_retained = sweep_tier(pts_1m, "1m", now)
+    h_pdf = h_coarse.toPandas()
+    assert (h_pdf["value"] == 60.0).all()  # every swept hour complete
+    # cascade with a jumped clock: without the completeness cap the 1h
+    # sweep would emit a partial final day (the 1m sweep boundary is
+    # hour-aligned, not day-aligned)
+    h_in = h_coarse.select("url", "start", "value").withColumn(
+        "agg_func", F.lit("SUM")
+    )
+    d_coarse, h_retained = sweep_tier(h_in, "1h", now + pd.Timedelta(days=90))
+    d_pdf = d_coarse.toPandas()
+    assert (d_pdf["value"] == 1440.0).all()  # every swept day complete
+    d_in = d_coarse.select("url", "start", "value").withColumn(
+        "agg_func", F.lit("SUM")
+    )
+    m_coarse, d_retained = sweep_tier(d_in, "1d", now + pd.Timedelta(days=500))
+    m_pdf = m_coarse.toPandas()
+    for s, v in zip(pd.DatetimeIndex(m_pdf["start"]), m_pdf["value"]):
+        assert v == s.days_in_month * 1440.0  # complete months only
+    # conservation across the whole cascade
+    grand = (
+        m_pdf["value"].sum()
+        + d_retained.toPandas()["value"].sum()
+        + h_retained.toPandas()["value"].sum()
+        + m_retained.toPandas()["value"].sum()
+    )
+    assert grand == total

@@ -81,7 +81,13 @@ def test_diff_series_cli(tmp_path, spark, pages):
     wh = str(tmp_path / "wh")
     main(["--tier", "1h", "--warehouse", wh, "--run-id", "r-diff",
           "--input", src, "--master", "local[2]"])
-    url = pages.select("url").first()[0]
+    # deterministically pick a url that actually HAS stored points (some
+    # generator urls are all-malformed and produce none; DataFrame.first()
+    # on an unsorted frame is also order-nondeterministic)
+    url = (
+        Catalog(wh).read(spark, "points_1h")
+        .agg(F.min("url")).first()[0]
+    )
     base = ["--warehouse", wh, "--input", src, "--url", url,
             "--tier", "1h", "--master", "local[2]"]
     assert ds.main(base) == 0

@@ -403,3 +403,59 @@ def test_limits_activation_zero_drops(engine, spark):
         freq=H,
     )
     assert got.count() == 0
+
+
+def test_evaluate_many_he_with_multifreq_leaf(spark):
+    """Interaction coverage: HE formula x F3 list-valued leaf x
+    evaluate_many. Device 'a' stores the monitored series hourly, device
+    'b' only daily (constant) — per-key resolution must feed the HE
+    hysteresis its own device's series, and the LOCF carry must stay
+    keyed."""
+    pat = [1.0, 3.5, 5.0, 3.5, 2.0, 3.5]
+    hourly = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "device": "a",
+                "start": [T0 + pd.Timedelta(hours=i) for i in range(6)],
+                "value": pat,
+            }
+        )
+    )
+    # device b: daily AVG constant 5.0 -> upsampled LOCF 5.0 > winter_min=4
+    daily = spark.createDataFrame(
+        pd.DataFrame({"device": ["b"], "start": [T0], "value": [5.0]})
+    )
+    s = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "device": ["a"] * 6 + ["b"] * 6,
+                "start": [T0 + pd.Timedelta(hours=i) for i in range(6)] * 2,
+                "value": 3.0,
+            }
+        )
+    )
+    w = s.select("device", "start", F.lit(4.0).alias("value"))
+    eng = FormulaEngine(
+        spark,
+        series={
+            "P": [SeriesRef(hourly, H, "AVG"), SeriesRef(daily, 86400, "AVG")],
+            "S": SeriesRef(s, H, "AVG"),
+            "W": SeriesRef(w, H, "AVG"),
+        },
+        he_warmup_days=1,
+    )
+    xml = (
+        "<fun><fop>HE</fop><fpar><mh>S</mh></fpar><fpar><mh>W</mh></fpar>"
+        "<fpar><mh>P</mh></fpar></fun>"
+    )
+    out = (
+        eng.evaluate_many(xml, T0, T0 + pd.Timedelta(hours=5), H, keys=["device"])
+        .orderBy("device", "start")
+        .toPandas()
+    )
+    a = out[out["device"] == "a"]["value"].to_numpy()
+    b = out[out["device"] == "b"]["value"].to_numpy()
+    # device a follows the hysteresis of its own hourly pattern
+    np.testing.assert_allclose(a, [1, 1, 0, 0, 1, 1])
+    # device b's LOCF'd daily 5.0 > winter_min everywhere -> heating off
+    np.testing.assert_allclose(b, [0.0] * 6)

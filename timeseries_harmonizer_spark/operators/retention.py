@@ -72,7 +72,25 @@ def sweep_tier(
     if tier.coarser is None or tier.retention is None:
         return points.where(F.lit(False)), points
     coarse = TIERS[tier.coarser]
-    expired, retained = split_expired(points, tier, pd.Timestamp(now))
+    # Cascade guard: the retention cutoff must never outrun what this tier
+    # actually HOLDS. The tier above swept into us with ITS window
+    # alignment (e.g. the 1m tier's hour-aligned boundary), so our newest
+    # rows generally end mid-coarse-window; after a long outage (or a
+    # jumped clock) the aligned `now - retention` cutoff can pass that
+    # point, and sweeping it would emit a data-incomplete coarse window —
+    # which a later run would re-emit differently once the upstream sweep
+    # catches up, and last-write-wins would keep only the fragment.
+    # Capping at floor_coarse(data_end) sweeps only windows this table can
+    # fully cover. (One tiny agg action; empty tables sweep nothing.)
+    row = points.agg(F.max("start").alias("mx")).first()
+    if row is None or row["mx"] is None:
+        return points.where(F.lit(False)), points
+    data_end = pd.Timestamp(row["mx"]) + pd.Timedelta(seconds=tier.seconds)
+    capped_now = min(
+        pd.Timestamp(now),
+        floor_to_coarse_window(data_end, coarse) + tier.retention,
+    )
+    expired, retained = split_expired(points, tier, capped_now)
     if "agg_func" not in expired.columns and registry is not None:
         expired = expired.join(F.broadcast(registry.select(key, "agg_func")), key)
     parts = []
