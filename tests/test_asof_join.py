@@ -250,3 +250,54 @@ def test_interval_join_plans_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_property_based(spark):
+    """Hypothesis-style property sweep (seeded grid, not @given — each case
+    costs a Spark round trip): random key counts, duplicate timestamps,
+    NULL payloads, empty sides — always exactly merge_asof."""
+    cases = []
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        nl, nr = int(rng.integers(0, 40)), int(rng.integers(0, 25))
+        keys = ["a", "b", "c"][: int(rng.integers(1, 4))]
+        lt = np.sort(rng.integers(0, 5000, nl))
+        rt = np.sort(rng.integers(-500, 4500, nr))
+        price = rng.normal(0, 1, nr).round(2)
+        if nr:
+            price[rng.random(nr) < 0.25] = np.nan
+        cases.append(
+            (
+                pd.DataFrame(
+                    {"key": rng.choice(keys, nl),
+                     "ts": pd.to_datetime(1704067200 + lt, unit="s"),
+                     "lval": np.arange(float(nl))}
+                ),
+                pd.DataFrame(
+                    {"key": rng.choice(keys, nr),
+                     "ts": pd.to_datetime(1704067200 + rt, unit="s"),
+                     "price": price}
+                ),
+            )
+        )
+    schema_l = "key string, ts timestamp, lval double"
+    schema_r = "key string, ts timestamp, price double"
+    for i, (left, right) in enumerate(cases):
+        sl = spark.createDataFrame(left, schema=schema_l)
+        sr = spark.createDataFrame(right, schema=schema_r)
+        got = (
+            asof_join(sl, sr, on="ts", by="key", right_cols=["price"])
+            .toPandas()
+            .sort_values(["key", "ts", "lval"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(left)
+        if len(left) == 0:
+            continue
+        exp = _pandas_asof(left, right) if len(right) else left.assign(price_r=np.nan)
+        exp = exp.sort_values(["key", "ts", "lval"]).reset_index(drop=True)
+        np.testing.assert_allclose(
+            got["price_r"].to_numpy(dtype=float),
+            exp["price_r"].to_numpy(dtype=float),
+            rtol=0, atol=0, equal_nan=True, err_msg=f"case {i}",
+        )
