@@ -110,7 +110,10 @@ def main(argv=None) -> int:
         return 0
 
     if args.action == "delete":
-        kept = df.where(~sel)
+        # null-safe complement: rows where the selector is NULL (e.g. NULL
+        # start with a --ts window, NULL url) must be KEPT — `~NULL` is NULL
+        # and where() drops it, silently deleting out-of-scope rows
+        kept = df.where(~F.coalesce(sel, F.lit(False)))
         snap = cat.rewrite(args.table, kept, partition_by=part)
         print(f"rewrote {args.table} without {args.url} rows (snapshot {snap})")
         return 0

@@ -147,6 +147,9 @@ class Catalog:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._data_dir(name))
 
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._snap_file(name))
+
 
 def write_bucketed(
     df: DataFrame,
@@ -190,6 +193,3 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table THROUGH the catalog (spark.read.parquet on the
     underlying files would silently drop the bucket spec)."""
     return spark.table(table)
-
-    def exists(self, name: str) -> bool:
-        return os.path.exists(self._snap_file(name))

@@ -153,32 +153,34 @@ def streaming_sessionize(
         brk = np.flatnonzero(np.diff(ts) > gap_seconds) + 1
         starts = np.concatenate(([0], brk))
         ends = np.concatenate((brk, [len(ts)]))
-        # One ordered pass over (carried summary, then batch groups),
-        # merging into the open session whenever group.start is within gap
-        # of the open session's (growing) last. This also handles
-        # out-of-order arrivals across triggers: a batch row OLDER than the
-        # carried end merges (negative gap), and a later group that is
-        # bridged by the carried summary's span unites with it even though
-        # the in-batch split saw a wider gap. (With only a summary in
-        # state, rows older than carried_start - gap start their own
-        # earlier session — interior points that might have bridged them
-        # are no longer available; the watermark keeps that case rare.)
-        out = []
-        open_s = tuple(state.get) if state.exists else None
-        for a, b in zip(starts, ends):
-            g = (int(ts[a]), int(ts[b - 1]), int(b - a), float(np.nansum(vals[a:b])))
-            if open_s is not None and g[0] - open_s[1] <= gap_seconds:
-                open_s = (
-                    min(open_s[0], g[0]),
-                    max(open_s[1], g[1]),
-                    open_s[2] + g[2],
-                    open_s[3] + g[3],
+        # Merge the carried summary with the batch's groups in ONE pass over
+        # all of them sorted by start time (the carried session is not
+        # necessarily the oldest: a late-but-within-watermark batch group can
+        # predate it, and must become its own EARLIER session when it ends
+        # more than gap before the carried start — merging it would break the
+        # gap invariant). Sorted-adjacent merging handles every arrangement:
+        # overlap (negative gap), bridge-by-carried-span, and disjoint-early.
+        groups = [
+            (int(ts[a]), int(ts[b - 1]), int(b - a), float(np.nansum(vals[a:b])))
+            for a, b in zip(starts, ends)
+        ]
+        if state.exists:
+            groups.append(tuple(state.get))
+            groups.sort(key=lambda g: (g[0], g[1]))
+        merged = [groups[0]]
+        for g in groups[1:]:
+            last = merged[-1]
+            if g[0] - last[1] <= gap_seconds:
+                merged[-1] = (
+                    min(last[0], g[0]),
+                    max(last[1], g[1]),
+                    last[2] + g[2],
+                    last[3] + g[3],
                 )
             else:
-                if open_s is not None:
-                    out.append(open_s)
-                open_s = g
-        c_start, c_last, c_n, c_vsum = open_s
+                merged.append(g)
+        out = merged[:-1]
+        c_start, c_last, c_n, c_vsum = merged[-1]
         # keep the trailing session open; close it NOW if the watermark has
         # already passed its deadline (EventTimeTimeout must be > watermark)
         deadline_ms = c_last * 1000 + gap_ms
@@ -259,18 +261,31 @@ def run_compressed_sink(
 ) -> None:
     """Stream finalized tier points into Gorilla/delta-of-delta compressed
     payload blobs: each micro-batch runs the batch compress operator via
-    foreachBatch (exactly-once via the sink checkpoint + availableNow), so
-    the streaming path lands the SAME at-rest payload format as the batch
-    job — one codec, one reader. Append-mode upstream means only
-    watermark-finalized windows ever reach a blob, so blobs never need
-    rewriting for late data."""
+    foreachBatch, so the streaming path lands the SAME at-rest payload
+    format as the batch job — one codec, one reader. Append-mode upstream
+    means only watermark-finalized windows ever reach a blob, so blobs
+    never need rewriting for late data.
+
+    foreachBatch is at-least-once (a crash between the data write and the
+    checkpoint commit replays the batch), so each batch lands under its own
+    ``batch_id=<id>`` partition with DYNAMIC overwrite: a replayed batch
+    overwrites its own partition instead of appending duplicate blob rows —
+    idempotent, hence effectively exactly-once at rest. Readers see an
+    extra ``batch_id`` partition column; ``decompress_points`` ignores it."""
     from timeseries_harmonizer_spark.operators.compress import compress_points
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        compress_points(
-            batch_df, tier_name, key=key, start_col=start_col, value=value,
-            partitions=batch_df.sparkSession.sparkContext.defaultParallelism,
-        ).write.mode("append").parquet(out_path)
+        (
+            compress_points(
+                batch_df, tier_name, key=key, start_col=start_col, value=value,
+                partitions=batch_df.sparkSession.sparkContext.defaultParallelism,
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     q = (
         points.writeStream.foreachBatch(write_batch)
