@@ -1364,12 +1364,14 @@ def q40(spark, sf_dir):
 @_q(
     "q38_multimodal_features",
     # synthetic_media derives every column from the portable md5 hash family
-    # and the payload is repeat(sha256_hex, 4), so DuckDB recomputes the
-    # metadata AND the byte-entropy of the payload exactly. The RNG-based
-    # per-channel decode means are NOT SQL-reproducible (fake-decoder numpy
-    # RNG) — they stay pinned by pytest (test_multimodal_plumbing); this
-    # gate value-checks everything else end to end through the mapInPandas
-    # feature stage.
+    # and the payload is a VALID binary PPM ('P6\n{w} {h}\n255\n' + the
+    # first w*h*3 bytes of repeat(sha256_hex, ...)), so DuckDB recomputes
+    # the metadata AND the byte-entropy of the exact payload bytes. The
+    # per-channel means come from the REAL pure-numpy PPM decode
+    # (operators/multimodal.decode_ppm); mean_r is value-checked here too —
+    # the pixel bytes are ASCII hex chars, so DuckDB can average every 3rd
+    # character's code point. Reference analog: typed binary register
+    # decoders, reference lib/__init__.py:30-101.
     """
     WITH m AS (SELECT range AS media_id FROM range(64)),
     h AS (
@@ -1377,31 +1379,48 @@ def q40(spark, sf_dir):
         (md5_number_lower('k5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hk,
         (md5_number_lower('w5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hw,
         (md5_number_lower('h5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hh,
-        (md5_number_lower('d5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hd,
-        repeat(sha256('m' || media_id::varchar), 4) AS payload
+        (md5_number_lower('d5:' || media_id::varchar) & 9223372036854775807)::BIGINT AS hd
       FROM m),
     meta AS (
       SELECT media_id,
              ['image','audio','video'][CAST(hk % 3 + 1 AS int)] AS kind,
              CAST(hw % 64 + 16 AS int) AS width,
              CAST(hh % 64 + 16 AS int) AS height,
-             hd % 300 / 10.0 AS duration_s,
-             payload
+             hd % 300 / 10.0 AS duration_s
       FROM h),
-    chars AS (
-      SELECT media_id, payload,
-             unnest(generate_series(1, length(payload))) AS i
+    pay AS (
+      SELECT media_id, kind, width, height, duration_s,
+             'P6' || chr(10) || width::varchar || ' ' || height::varchar
+               || chr(10) || '255' || chr(10) ||
+             substring(repeat(sha256('m' || media_id::varchar),
+                              CAST(ceil(width * height * 3 / 64.0) AS INT)),
+                       1, width * height * 3) AS payload,
+             length('P6' || chr(10) || width::varchar || ' '
+                    || height::varchar || chr(10) || '255' || chr(10))
+               AS hdr_len
       FROM meta),
+    chars AS (
+      SELECT media_id, payload, hdr_len,
+             unnest(generate_series(1, length(payload))) AS i
+      FROM pay),
     cnt AS (
-      SELECT media_id, substring(payload, i, 1) AS ch, count(*) AS k
+      SELECT media_id, substring(payload, i, 1) AS ch, count(*) AS k,
+             any_value(CAST(length(payload) AS DOUBLE)) AS n
       FROM chars GROUP BY 1, 2),
     ent AS (
       SELECT media_id,
-             round(-sum((k / 256.0) * log2(k / 256.0)), 6) AS byte_entropy
-      FROM cnt GROUP BY media_id)
-    SELECT mt.media_id, mt.kind, mt.width, mt.height, mt.duration_s,
-           e.byte_entropy
-    FROM meta mt JOIN ent e USING (media_id)
+             round(-sum((k / n) * log2(k / n)), 6) AS byte_entropy
+      FROM cnt GROUP BY media_id),
+    red AS (
+      -- mean of the R channel = mean code point of pixel bytes at offsets
+      -- hdr_len, hdr_len+3, hdr_len+6, ... (1-based: i > hdr_len)
+      SELECT media_id,
+             round(avg(ord(substring(payload, i, 1))), 6) AS mean_r
+      FROM chars WHERE i > hdr_len AND (i - hdr_len - 1) % 3 = 0
+      GROUP BY media_id)
+    SELECT p.media_id, p.kind, p.width, p.height, p.duration_s,
+           e.byte_entropy, r.mean_r
+    FROM pay p JOIN ent e USING (media_id) JOIN red r USING (media_id)
     """,
 )
 def q38(spark, sf_dir):
@@ -1411,8 +1430,8 @@ def q38(spark, sf_dir):
     )
 
     media = synthetic_media(spark, n=64)
-    feats = extract_features(media, fake_decode=True).select(
-        "media_id", "byte_entropy"
+    feats = extract_features(media).select(  # default = REAL PPM decode
+        "media_id", "byte_entropy", F.round("mean_r", 6).alias("mean_r")
     )
     return media.select(
         "media_id", "kind", "width", "height", "duration_s"

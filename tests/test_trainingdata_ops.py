@@ -176,20 +176,90 @@ def test_lsh_topk_recall(spark, emb):
 
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, n=24)
-    feats = extract_features(media, fake_decode=True).toPandas()
+    feats = extract_features(media).toPandas()  # default = REAL PPM decode
     assert len(feats) == 24
     assert feats["byte_entropy"].between(0, 8).all()
     assert {"mean_r", "mean_g", "mean_b"} <= set(feats.columns)
+    # payloads are ASCII hex pixels -> every channel mean is a code point
+    for c in ("mean_r", "mean_g", "mean_b"):
+        assert feats[c].between(ord("0"), ord("f")).all()
+    pdf = media.toPandas()
     frames = frame_sample(media, every_bytes=64).toPandas()
-    assert (frames.groupby("media_id").size() == 4).all()  # 256-byte payloads
-    assert frames["frame_bytes"].map(len).eq(64).all()
+    expected = (pdf["payload"].map(len) // 64).clip(lower=1)
+    got = frames.groupby("media_id").size()
+    assert (got.to_numpy() == expected.to_numpy()).all()
+    assert frames["frame_bytes"].map(len).le(64).all()
 
 
-def test_decode_stub_raises(spark):
+def test_real_ppm_decode_matches_payload(spark):
+    """The generator's payloads are real PPMs: decoding one must reproduce
+    exactly the pixel bytes the Spark expressions generated."""
+    import numpy as np
+
+    from timeseries_harmonizer_spark.operators.multimodal import decode_image
+
+    row = synthetic_media(spark, n=3).orderBy("media_id").toPandas().iloc[0]
+    img = decode_image(bytes(row["payload"]))
+    assert img.shape == (row["height"], row["width"], 3)
+    body = bytes(row["payload"]).split(b"\n255\n", 1)[1]
+    assert img.tobytes() == body
+    assert np.isclose(
+        img.reshape(-1, 3)[:, 0].mean(), np.frombuffer(body, np.uint8)[::3].mean()
+    )
+
+
+def test_codec_roundtrips():
+    import numpy as np
+
+    from timeseries_harmonizer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)  # odd width: padding
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    s = rng.uniform(-1, 1, (800, 2))
+    s2, rate = decode_wav(encode_wav(s, 22050))
+    assert rate == 22050 and s2.shape == (800, 2)
+    assert np.abs(s2 - s).max() < 1 / 32767
+
+
+def test_audio_features_via_wav(spark):
+    import numpy as np
+
+    from timeseries_harmonizer_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    rng = np.random.default_rng(3)
+    clips = [rng.uniform(-0.5, 0.5, 400 + 100 * i) for i in range(4)]
+    rows = [(i, bytearray(encode_wav(c, 16000))) for i, c in enumerate(clips)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = (
+        extract_audio_features(media).toPandas().set_index("media_id").sort_index()
+    )
+    assert (out["sample_rate"] == 16000).all()
+    assert list(out["n_samples"]) == [400, 500, 600, 700]
+    for i, c in enumerate(clips):
+        q = np.round(np.clip(c, -1, 1) * 32767) / 32767  # PCM16 quantization
+        assert abs(out.loc[i, "rms"] - np.sqrt(np.mean(q**2))) < 1e-9
+
+
+def test_decode_unknown_codec_raises(spark):
     from timeseries_harmonizer_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"xx", 4, 4, fake=False)
+        decode_image(b"\x89PNG\r\n", 4, 4, fake=False)
+    # fake path still available for unknown codecs (shape-correct)
+    img = decode_image(b"\x89PNG\r\n", 4, 6, fake=True)
+    assert img.shape == (6, 4, 3)
 
 
 def test_lsh_mega_bucket_capped(spark):
