@@ -71,3 +71,69 @@ def test_hot_series_chunked(spark):
     np.testing.assert_allclose(
         chunked["value"].to_numpy(), native["value"].to_numpy(), rtol=0, atol=1e-6
     )
+
+
+def test_last_chunked_equals_unchunked(spark, pages, reg):
+    """The chunked LAST dense grid (bounded explode batches + per-chunk LOCF
+    with precomputed carry-in) must be row- and value-identical to the
+    direct whole-span grid."""
+    from timeseries_harmonizer_spark.operators.rollup import rollup_native_last
+
+    tier = TIERS["1h"]
+    prepared = pipeline.prepare(pages, reg, tier).where(F.col("agg_func") == "LAST")
+
+    def run(cw):
+        return (
+            rollup_native_last(
+                prepared, freq_seconds=tier.seconds, session_col="session_id",
+                chunk_windows=cw,
+            )
+            .toPandas()
+            .sort_values(["url", "start"])
+            .reset_index(drop=True)
+        )
+
+    base = run(10**9)  # one chunk spans everything == the old direct grid
+    chunked = run(3)   # aggressively small chunks to stress carry-in
+    assert len(base) == len(chunked), (len(base), len(chunked))
+    assert (base["url"].to_numpy() == chunked["url"].to_numpy()).all()
+    assert (base["start"].to_numpy() == chunked["start"].to_numpy()).all()
+    assert (base["is_real"].to_numpy() == chunked["is_real"].to_numpy()).all()
+    bn, cn = base["value"].isna(), chunked["value"].isna()
+    assert (bn == cn).all()
+    np.testing.assert_allclose(
+        chunked["value"][~cn].to_numpy(), base["value"][~bn].to_numpy(),
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_last_sparse_long_span_bounded(spark):
+    """The gap_check=None hazard: one url at a fine tier (1m) with a 40-day
+    hole between two observations. The grid must densify the whole span in
+    bounded chunks (40 days of minutes crosses the 50k default boundary),
+    LOCF the hole from the first value, and keep is_real only where raw
+    observations exist."""
+    import pandas as pd
+
+    from timeseries_harmonizer_spark.operators.rollup import rollup_native_last
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    t1 = t0 + pd.Timedelta(days=40)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["u", "u"], "warc_ts": [t0, t1], "value": [1.0, 2.0]}
+        )
+    )
+    out = (
+        rollup_native_last(df, freq_seconds=60, session_col=None)
+        .toPandas()
+        .sort_values("start")
+        .reset_index(drop=True)
+    )
+    n_expected = 40 * 86400 // 60 + 1
+    assert len(out) == n_expected, (len(out), n_expected)
+    assert out["value"].iloc[0] == 1.0 and out["value"].iloc[-1] == 2.0
+    # the carry crosses every chunk boundary: all interior rows LOCF 1.0
+    assert (out["value"].iloc[:-1] == 1.0).all()
+    assert out["is_real"].sum() == 2
+    assert bool(out["is_real"].iloc[0]) and bool(out["is_real"].iloc[-1])

@@ -275,6 +275,7 @@ def rollup_native_last(
     value: str = "value",
     freq_seconds: int | str = 3600,
     session_col: str | None = None,
+    chunk_windows: int = 50_000,
 ) -> DataFrame:
     """R3 native: tumbling last non-null value + LOCF across the dense
     window grid of each (series, session) — LOCF never bridges a session
@@ -284,7 +285,18 @@ def rollup_native_last(
     (reference lib/__init__.py:157-166).
 
     freq_seconds: window width in seconds, or 'P1W'/'P1M' for calendar
-    windows (date_trunc labels, interval-stepped dense grid)."""
+    windows (date_trunc labels, interval-stepped dense grid).
+
+    Volume bound (the 100x argument): tiers with ``gap_check=None`` (1d)
+    have unbounded sessions, so one url with years of sparse history would
+    otherwise explode its whole span as ONE generator batch and fill it
+    under ONE window partition. Integer-frequency grids are therefore
+    chunked at ``chunk_windows`` dense windows (~35 days at 1m, ~5.7 years
+    at 1h): each chunk explodes and LOCF-fills independently, with the
+    carry-in value per chunk precomputed as a running last over the
+    (tiny, one-row-per-chunk) chunk summary — identical output, bounded
+    explode batch, bounded window-partition state. Calendar grids (P1W/P1M)
+    keep the direct span grid: decades are only hundreds of windows."""
     calendar = isinstance(freq_seconds, str)
     sess = F.col(session_col) if session_col else F.lit(0)
     win = _window_col(F.col(ts_col), freq_seconds, is_ts=True).alias("__w")
@@ -296,31 +308,82 @@ def rollup_native_last(
             F.count(F.col(ts_col)).alias("__nraw"),
         )
     )
-    spans = per_win.groupBy("__k", "__sess").agg(
-        F.min("__w").alias("__w0"), F.max("__w").alias("__w1")
+    is_real = F.coalesce(F.col("__nraw") > 0, F.lit(False)).alias("is_real")
+    if calendar:
+        spans = per_win.groupBy("__k", "__sess").agg(
+            F.min("__w").alias("__w0"), F.max("__w").alias("__w1")
+        )
+        grid = spans.select(
+            "__k", "__sess",
+            F.explode(
+                F.sequence("__w0", "__w1", F.expr(_calendar_interval(freq_seconds)))
+            ).alias("__w"),
+        )
+        joined = grid.join(per_win, ["__k", "__sess", "__w"], "left")
+        w = (
+            W.partitionBy("__k", "__sess")
+            .orderBy("__w")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return joined.select(
+            F.col("__k").alias(key),
+            F.col("__w").alias("start"),
+            F.last("__last", ignorenulls=True).over(w).alias(value),
+            is_real,
+        )
+    step = int(freq_seconds)
+    span_s = int(chunk_windows) * step  # seconds per chunk
+    # chunk index of an observed window, relative to the session's first
+    # window (window index // chunk_windows)
+    w0 = F.min("__w").over(W.partitionBy("__k", "__sess"))
+    obs = per_win.withColumn("__w0", w0).withColumn(
+        "__c", ((F.col("__w") - F.col("__w0")) / span_s).cast("long")
     )
-    step = (
-        F.expr(_calendar_interval(freq_seconds))
-        if calendar
-        else F.lit(int(freq_seconds))
+    # one summary row per NON-EMPTY chunk: its last observed value + the
+    # session span (w0/w1 ride along for the grid arithmetic)
+    chunk_last = obs.groupBy("__k", "__sess", "__c").agg(
+        F.expr("max_by(__last, __w) FILTER (WHERE __last IS NOT NULL)").alias("__cl"),
+        F.first("__w0").alias("__w0"),
+        F.max("__w").alias("__wmax"),
     )
-    grid = spans.select(
-        "__k", "__sess",
-        F.explode(F.sequence("__w0", "__w1", step)).alias("__w"),
+    spans = chunk_last.groupBy("__k", "__sess").agg(
+        F.first("__w0").alias("__w0"),
+        F.max("__wmax").alias("__w1"),
+        F.max("__c").alias("__cmax"),
+    )
+    # full chunk list (including empty chunks between observations), each
+    # with its carry-in = running last observed value over PRIOR chunks
+    chunks = spans.select(
+        "__k", "__sess", "__w0", "__w1",
+        F.explode(F.sequence(F.lit(0), "__cmax")).alias("__c"),
+    ).join(chunk_last.select("__k", "__sess", "__c", "__cl"), ["__k", "__sess", "__c"], "left")
+    wc = (
+        W.partitionBy("__k", "__sess")
+        .orderBy("__c")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunks = chunks.withColumn("__carry", F.last("__cl", ignorenulls=True).over(wc))
+    # bounded per-chunk dense grid
+    gstart = F.col("__w0") + F.col("__c") * span_s
+    gend = F.least(F.col("__w1"), gstart + F.lit(span_s - step))
+    grid = chunks.select(
+        "__k", "__sess", "__c", "__carry",
+        F.explode(F.sequence(gstart, gend, F.lit(step))).alias("__w"),
     )
     joined = grid.join(per_win, ["__k", "__sess", "__w"], "left")
     w = (
-        W.partitionBy("__k", "__sess")
+        W.partitionBy("__k", "__sess", "__c")
         .orderBy("__w")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    filled = F.last("__last", ignorenulls=True).over(w)
-    start = F.col("__w") if calendar else F.timestamp_seconds(F.col("__w"))
+    filled = F.coalesce(
+        F.last("__last", ignorenulls=True).over(w), F.col("__carry")
+    )
     return joined.select(
         F.col("__k").alias(key),
-        start.alias("start"),
+        F.timestamp_seconds(F.col("__w")).alias("start"),
         filled.alias(value),
-        F.coalesce(F.col("__nraw") > 0, F.lit(False)).alias("is_real"),
+        is_real,
     )
 
 
