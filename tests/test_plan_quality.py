@@ -181,3 +181,82 @@ def test_bucketed_table_kills_cross_job_shuffles(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in join_plan, join_plan
     assert "Exchange" not in join_plan, join_plan
+
+
+def test_zipf_fixture_partition_balance(spark):
+    """SURVEY §4 hot-domain skew, MEASURED: the generator's Zipf domain heat
+    concentrates urls under few domains, but the engine partitions on the
+    url hash, so domain heat cannot skew the exchange — max partition input
+    stays within a small factor of the median through prepare."""
+    from timeseries_harmonizer_spark.config import TIERS
+    from timeseries_harmonizer_spark.plans.pipeline import prepare
+    from timeseries_harmonizer_spark.sources.webpages import registry, web_pages
+
+    pages = web_pages(spark, n_urls=400, points_per_url=60, n_domains=12, seed=13)
+    reg = registry(spark, pages, seed=13)
+    prepared = prepare(pages, reg, TIERS["1h"])
+    sizes = (
+        prepared.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .toPandas()["count"]
+    )
+    # domain heat check: the fixture really is skewed (top domain >> fair share)
+    dom = (
+        pages.groupBy(F.regexp_extract("url", r"https://(d\d+)", 1).alias("d"))
+        .count()
+        .toPandas()["count"]
+    )
+    assert dom.max() > 3 * dom.mean(), "fixture lost its Zipf heat"
+    med = float(sizes.median())
+    assert float(sizes.max()) <= 3.0 * med, (
+        f"partition skew: max={sizes.max()} median={med}"
+    )
+
+
+def test_hot_series_task_input_bounded(spark):
+    """One pathological hot SERIES (40k points, single session) vs cold
+    urls: the exact path's (url, session, time-chunk) grouping bounds every
+    Arrow group's input regardless of how hot the series is — measured, not
+    asserted from the plan."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseries_harmonizer_spark.config import EXACT_CHUNK_WINDOWS
+
+    cadence = 30
+    n_hot = 40_000
+    hot = pd.DataFrame(
+        {
+            "url": "hot",
+            "warc_ts": pd.to_datetime(
+                1704067200 + cadence * np.arange(n_hot), unit="s"
+            ),
+            "value": 1.0,
+        }
+    )
+    cold = pd.DataFrame(
+        {
+            "url": [f"c{i}" for i in range(60) for _ in range(50)],
+            "warc_ts": pd.to_datetime(
+                1704067200 + 3600 * np.tile(np.arange(50), 60), unit="s"
+            ),
+            "value": 1.0,
+        }
+    )
+    df = spark.createDataFrame(pd.concat([hot, cold]))
+    span = EXACT_CHUNK_WINDOWS * 3600
+    groups = (
+        df.groupBy(
+            "url", F.floor(F.unix_timestamp("warc_ts") / span).alias("chunk")
+        )
+        .count()
+        .toPandas()
+    )
+    bound = span // cadence + 1  # densest possible chunk at this cadence
+    assert groups["count"].max() <= bound, (groups["count"].max(), bound)
+    hot_total = groups[groups["url"] == "hot"]["count"].sum()
+    assert hot_total == n_hot
+    # the hot series really was split: its max task input is a small
+    # fraction of its total volume
+    hot_max = groups[groups["url"] == "hot"]["count"].max()
+    assert hot_max * 10 <= hot_total, (hot_max, hot_total)

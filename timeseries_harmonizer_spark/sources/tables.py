@@ -64,14 +64,52 @@ class Catalog:
         snaps = self.snapshots(name)
         return snaps[-1].snapshot_id if snaps else None
 
-    def _commit(self, snap: Snapshot) -> None:
-        snaps = [asdict(s) for s in self.snapshots(snap.table)] + [asdict(snap)]
+    def _lock(self, name: str):
+        """Exclusive advisory lock serializing commit critical sections for
+        one table across PROCESSES (flock on a sidecar file). This is the
+        local-filesystem stand-in for Iceberg's optimistic-concurrency
+        metadata commit: two writers may stage data concurrently, but log
+        mutation + snapshot-id assignment is single-writer. On a real
+        cluster the Iceberg catalog provides this via atomic metadata-pointer
+        swap + retry; an flock is the correct primitive for a shared local
+        volume."""
+        import fcntl
+        from contextlib import contextmanager
+
+        d = self._table_dir(name)
+        os.makedirs(d, exist_ok=True)
+
+        @contextmanager
+        def held():
+            with open(os.path.join(d, "_commit.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
+
+        return held()
+
+    def _commit(self, snap: Snapshot) -> int:
+        """Append a snapshot record under the table's commit lock, assigning
+        the snapshot id INSIDE the critical section (read-modify-write of
+        the log would otherwise lose a concurrent writer's record). Returns
+        the assigned id; the os.replace is the atomic commit point — a
+        reader sees either the old or the new complete log, never a torn
+        one."""
         d = self._table_dir(snap.table)
         os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(snaps, f, indent=1)
-        os.replace(tmp, self._snap_file(snap.table))  # atomic commit point
+        with self._lock(snap.table):
+            existing = self.snapshots(snap.table)
+            snap.snapshot_id = (
+                existing[-1].snapshot_id + 1 if existing else 1
+            )
+            snaps = [asdict(s) for s in existing] + [asdict(snap)]
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(snaps, f, indent=1)
+            os.replace(tmp, self._snap_file(snap.table))  # atomic commit point
+        return snap.snapshot_id
 
     # -- writes ------------------------------------------------------------
     def write(
@@ -90,10 +128,9 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._data_dir(name))
-        snap_id = (self.last_snapshot_id(name) or 0) + 1
-        self._commit(
+        return self._commit(
             Snapshot(
-                snapshot_id=snap_id,
+                snapshot_id=-1,  # assigned under the commit lock
                 table=name,
                 mode=mode,
                 rows=df.count() if count_rows else None,
@@ -101,7 +138,6 @@ class Catalog:
                 watermark=watermark,
             )
         )
-        return snap_id
 
     def rewrite(
         self,
@@ -117,23 +153,29 @@ class Catalog:
         reference tools/remove_influx_data.py:10-21 drops a measurement
         range; here the table is rewritten without the dropped rows)."""
         import shutil
+        import uuid
 
-        tmp = self._data_dir(name) + ".rewrite"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # UNIQUE staging dir per rewriter: a shared staging path would let a
+        # concurrent rewrite steal/delete another writer's half-staged data
+        tmp = self._data_dir(name) + f".rewrite-{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
-        live, bak = self._data_dir(name), self._data_dir(name) + ".old"
-        shutil.rmtree(bak, ignore_errors=True)
-        if os.path.exists(live):
-            os.rename(live, bak)
-        os.rename(tmp, live)  # commit point for the data
-        shutil.rmtree(bak, ignore_errors=True)
-        snap_id = (self.last_snapshot_id(name) or 0) + 1
-        self._commit(
+        # the directory swap must be serialized with other rewriters (two
+        # concurrent swaps could both back up the same live dir); the log
+        # append then re-acquires the same lock in _commit (flock conflicts
+        # between fds even in one process, so the two sections must not nest)
+        with self._lock(name):
+            live, bak = self._data_dir(name), self._data_dir(name) + ".old"
+            shutil.rmtree(bak, ignore_errors=True)
+            if os.path.exists(live):
+                os.rename(live, bak)
+            os.rename(tmp, live)  # commit point for the data
+            shutil.rmtree(bak, ignore_errors=True)
+        return self._commit(
             Snapshot(
-                snapshot_id=snap_id,
+                snapshot_id=-1,  # assigned under the commit lock
                 table=name,
                 mode="rewrite",
                 rows=None,
@@ -141,7 +183,6 @@ class Catalog:
                 watermark=watermark,
             )
         )
-        return snap_id
 
     # -- reads ---------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
