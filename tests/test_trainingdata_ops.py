@@ -412,3 +412,50 @@ def test_token_budget_sample_equals_naive_prefix(spark):
         .toPandas()
     )
     assert got == set(naive["doc_id"]) and len(got) > 50
+
+
+# -- property-based codec round-trips (no Spark; pure numpy) ---------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_bmp_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from timeseries_harmonizer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    import numpy as np
+
+    from timeseries_harmonizer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.random.default_rng(seed).uniform(-1.2, 1.2, (n, ch))  # incl. clip range
+    out, r = decode_wav(encode_wav(s, rate))
+    assert r == rate and out.shape == (n, ch)
+    assert np.abs(out - np.clip(s, -1, 1)).max() <= 1 / 32767 + 1e-12
