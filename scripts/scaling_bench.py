@@ -153,9 +153,17 @@ On a cluster with truly 4x executors the nominal efficiency applies; the
 job's parallel structure (single fact shuffle, partial aggregation,
 Arrow-batched map-side stages, AQE) is what the normalized number measures.
 """
-    with open("/root/repo/BENCH.md", "w") as f:
+    # print only — BENCH.md carries a cumulative per-round variance table
+    # that a blind overwrite would destroy; merge the new attempt by hand
+    with open("/tmp/scaling_result.md", "w") as f:
         f.write(md)
     print(md)
+    print("RESULT_JSON " + json.dumps({
+        "t_lo": r8["sec"], "t_hi": r32["sec"], "speedup": round(speedup, 2),
+        "raw_eff": round(raw_eff, 3), "ceiling": round(ceiling, 2),
+        "norm_eff": round(norm_eff, 3),
+        "pps_lo": r8["points_per_sec"], "pps_hi": r32["points_per_sec"],
+    }))
 
 
 if __name__ == "__main__":
