@@ -2,8 +2,13 @@
 
 The repair loop is inherently sequential per system (neighbor
 redistribution with rollback — reference post_process/pv_postprocess.py:26-68),
-so it runs per (system, chunk) in Arrow-batched applyInPandas; everything
-around it (gen/exp alignment, dense completion) is native DataFrame ops.
+so it runs per system in Arrow-batched applyInPandas; everything around it
+(gen/exp alignment, dense completion) is native DataFrame ops. Group state
+is bounded by the CALLER's query window (the reference repairs one
+lookback window per run, launcher.py:40-44; jobs invoke this with
+ts_ini/ts_end the same way) — time-chunking inside the operator would
+change semantics, because repairs cascade through +-5 neighbors and a
+chunk boundary would cut an absorption chain.
 """
 
 from __future__ import annotations
