@@ -260,3 +260,34 @@ def test_hot_series_task_input_bounded(spark):
     # fraction of its total volume
     hot_max = groups[groups["url"] == "hot"]["count"].max()
     assert hot_max * 10 <= hot_total, (hot_max, hot_total)
+
+
+def test_chunked_last_adds_no_fact_exchange(spark, pages, reg, tmp_path):
+    """The chunked LAST dense grid must reuse prepare's url partitioning
+    end to end: every fact exchange in the plan is prepare's own explicit
+    url repartition (REPARTITION_BY_NUM; replicated per consumer lineage
+    here because this test skips the persist the real pipeline does) — the
+    planner never inserts an ADDITIONAL series-data shuffle for the chunk
+    summaries, carry-in window, or grid join (those are broadcast- or
+    co-partition-satisfied)."""
+    from timeseries_harmonizer_spark.config import TIERS
+    from timeseries_harmonizer_spark.operators.rollup import rollup_native_last
+    from timeseries_harmonizer_spark.plans.pipeline import prepare
+
+    path = str(tmp_path / "pages_pq3")
+    pages.write.parquet(path)
+    prepared = prepare(spark.read.parquet(path), reg, TIERS["1h"])
+    q = rollup_native_last(
+        prepared, freq_seconds=3600, session_col="session_id", chunk_windows=5
+    )
+    plan = _plan(q)
+    fact_blocks = re.findall(
+        r"\(\d+\) Exchange\nInput[^\n]*warc_ts[^\n]*\n"
+        r"Arguments: hashpartitioning\((\w+)[^\n]*?\), (\w+)",
+        plan,
+    )
+    assert fact_blocks, plan  # the regex must actually see the exchanges
+    for key, origin in fact_blocks:
+        assert key == "url" and origin == "REPARTITION_BY_NUM", (
+            f"unexpected fact exchange ({key}, {origin}):\n{plan}"
+        )
