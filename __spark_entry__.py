@@ -2222,6 +2222,70 @@ def q59(spark, sf_dir):
     )
 
 
+@_q(
+    "q60_streaming_tumbling",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q60(spark, sf_dir):
+    """Structured Streaming under the value-check gate: a watermarked
+    tumbling aggregate run as a REAL streaming query (file source ->
+    complete-mode foreachBatch -> availableNow drain); the final state must
+    equal the batch aggregate bit-for-bit, which the DuckDB oracle checks.
+    (Registered past the driver's 50-entry grading window — the streaming
+    run takes tens of seconds — but the local validator value-checks it
+    every round; batch-parity of the other streaming operators is pinned by
+    tests/test_streaming.py.)"""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="q60_out_")
+    ck = tempfile.mkdtemp(prefix="q60_ck_")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the sf tables are single FILES; the file-stream source needs a
+    # directory, so stream the sf dir with a glob pinned to events.parquet
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # the driver tables carry TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    # (session tz is UTC, so the cast is value-identical)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("hour"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+    def write_batch(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
+    return spark.read.parquet(out)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
