@@ -123,3 +123,37 @@ def test_rewrite_swap_serialized(tmp_path):
     assert vals in ([1], [2]), vals  # exactly one consistent winner
     assert not os.path.exists(live + ".old")
     assert not any(p.startswith("data.rewrite") for p in os.listdir(os.path.dirname(live)))
+
+
+def test_compact_small_files(spark, tmp_path):
+    """20 tiny appends -> one compaction: file count collapses to the
+    byte-size estimate (1 here), rows and values are identical, and a
+    'rewrite' snapshot is committed on top of the appends."""
+    import glob
+
+    import pandas as pd
+
+    base = str(tmp_path / "wh3")
+    cat = Catalog(base)
+    for i in range(20):
+        cat.write(
+            "t",
+            spark.createDataFrame(
+                pd.DataFrame({"url": [f"u{i}"], "v": [float(i)]})
+            ),
+            mode="append",
+        )
+    before = glob.glob(os.path.join(cat._data_dir("t"), "**", "*.parquet"),
+                       recursive=True)
+    assert len(before) >= 20
+    orig = cat.read(spark, "t").toPandas().sort_values("url").reset_index(drop=True)
+
+    snap = cat.compact(spark, "t")
+    after = glob.glob(os.path.join(cat._data_dir("t"), "**", "*.parquet"),
+                      recursive=True)
+    assert len(after) < len(before) and len(after) <= 2, (len(before), len(after))
+    got = cat.read(spark, "t").toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, orig)
+    snaps = cat.snapshots("t")
+    assert snaps[-1].snapshot_id == snap and snaps[-1].mode == "rewrite"
+    assert len(snaps) == 21

@@ -184,6 +184,38 @@ class Catalog:
             )
         )
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_mb: int = 128,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Small-files compaction (the Iceberg ``rewrite_data_files``
+        analog): many appends leave a table as thousands of tiny part
+        files, and at scale the scan's task-scheduling overhead then
+        dominates I/O. Rewrites the table's current snapshot into files
+        sized toward ``target_file_mb`` (file count estimated from on-disk
+        bytes, floor 1 per partition dir) via the staged-swap rewrite path,
+        so readers always see either the old or the new complete file set.
+        Returns the committed snapshot id; row-identical by construction
+        (same DataFrame, repartitioned only)."""
+        total = 0
+        for root, _, files in os.walk(self._data_dir(name)):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+        df = self.read(spark, name)
+        if partition_by:
+            # spread within each partition dir without a global shuffle key
+            df = df.repartition(n_files, *partition_by)
+        else:
+            df = df.coalesce(n_files)
+        return self.rewrite(name, df, partition_by=partition_by)
+
     # -- reads ---------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._data_dir(name))
