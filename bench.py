@@ -45,27 +45,35 @@ HEADLINERS = [
 ]
 
 _best_probe: float | None = None
+_probe_spark = None
 
 
 def _probe_once() -> float:
+    """Time a tiny ALL-CORES Spark job. A single-threaded Python busy loop
+    misses this sandbox's dominant contention mode — bursts that starve the
+    JVM's parallel task threads while a lone core still runs at full speed
+    (observed: probe ratio 1.3 while the 32-thread flagship ran 3x slow) —
+    so the probe must exercise the same resource the bench does."""
+    n = _probe_spark.sparkContext.defaultParallelism
     t0 = time.perf_counter()
-    s = 0
-    for i in range(1_500_000):
-        s += i
+    (
+        _probe_spark.range(1 << 22, numPartitions=n)
+        .selectExpr("sum(cast(id as double) * id) as s")  # double: no ANSI overflow
+        .first()
+    )
     return time.perf_counter() - t0
 
 
-def wait_idle(max_tries: int = 6, slack: float = 1.4) -> float:
-    """Gate a timed pass on a cheap CPU probe: a fixed busy loop whose
-    duration tracks host contention. Returns the accepted probe/best ratio
-    (1.0 = as idle as this session has ever seen)."""
+def wait_idle(max_tries: int = 6, slack: float = 1.35) -> float:
+    """Gate a timed pass on the parallel-throughput probe. Returns the
+    accepted probe/best ratio (1.0 = as idle as this session has seen)."""
     global _best_probe
     for attempt in range(max_tries):
         p = _probe_once()
         _best_probe = p if _best_probe is None or p < _best_probe else _best_probe
         if p <= _best_probe * slack:
             return round(p / _best_probe, 2)
-        time.sleep(3.0 * (attempt + 1))
+        time.sleep(4.0 * (attempt + 1))
     return round(p / _best_probe, 2)
 
 
@@ -143,6 +151,8 @@ def main():
         shuffle_partitions=int(cpus),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    global _probe_spark
+    _probe_spark = spark
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     # one untimed warmup pass: JIT/codegen/scan-cache warmup otherwise lands
