@@ -40,10 +40,10 @@ def test_run_tier_job_resumes(tmp_path):
     recs1 = {x.stage for x in m.records()}
     assert recs1 == {"points", "payloads", "compress", "sweep"}
     # re-run same run-id: all stages skip -> no new snapshots
-    import json, os
-    snaps_before = open(os.path.join(wh, "points_1h", "_snapshots.json")).read()
+    from timeseries_harmonizer_spark.sources.tables import Catalog
+    snaps_before = Catalog(wh).snapshots("points_1h")
     main(args)
-    snaps_after = open(os.path.join(wh, "points_1h", "_snapshots.json")).read()
+    snaps_after = Catalog(wh).snapshots("points_1h")
     assert snaps_before == snaps_after
     assert len(m.records()) == 4
 
@@ -63,8 +63,8 @@ def test_run_tier_job_reads_input_table(tmp_path, spark, pages):
           "--input", src, "--master", "local[2]"])
     m = Manifest(wh + "/_manifest.json")
     assert {x.stage for x in m.records()} == {"points", "payloads", "compress", "sweep"}
-    snaps = json.load(open(os.path.join(wh, "points_1h", "_snapshots.json")))
-    assert snaps  # points were produced from the on-disk table
+    from timeseries_harmonizer_spark.sources.tables import Catalog
+    assert Catalog(wh).snapshots("points_1h")  # points came from the on-disk table
 
 
 def test_diff_series_cli(tmp_path, spark, pages):
