@@ -472,12 +472,30 @@ def q12(spark, sf_dir):
 
 @_q(
     "q13_upsample_split",
+    # claim-span (resample().ffill()) semantics with a FORCED coarse gap:
+    # every 7th epoch-day is dropped from the daily series, so the point
+    # before each gap must claim 48 hourly slots (value / 48), pinning the
+    # sparse-input behavior the dense /24 oracle never exercised (r4 verdict).
     """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS vsum
+      FROM events GROUP BY 1, 2
+    ), gappy AS (
+      SELECT * FROM daily
+      WHERE CAST(floor(epoch(day)) / 86400 AS BIGINT) % 7 <> 3
+    ), span AS (
+      SELECT user_id, day, vsum,
+             CAST(floor(epoch(
+               coalesce(lead(day) OVER (PARTITION BY user_id ORDER BY day),
+                        day + INTERVAL 1 DAY) - day)) / 3600 AS BIGINT
+             ) AS n_slots
+      FROM gappy
+    )
     SELECT user_id, day + g * INTERVAL 1 HOUR AS hour,
-           floor(vsum / 24.0 * 10000) / 10000 AS slot_value
-    FROM (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS vsum,
-                 unnest(generate_series(0, 23)) AS g
-          FROM events GROUP BY user_id, date_trunc('day', ts))
+           floor(vsum / n_slots * 10000) / 10000 AS slot_value
+    FROM (SELECT user_id, day, vsum, n_slots,
+                 unnest(generate_series(0, n_slots - 1)) AS g
+          FROM span)
     """,
 )
 def q13(spark, sf_dir):
@@ -487,6 +505,7 @@ def q13(spark, sf_dir):
         _t(spark, sf_dir, EV)
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.sum("value").alias("value"))
+        .where((F.floor(F.unix_timestamp("day") / 86400) % 7) != 3)
     )
     out = upsample(
         daily, key="user_id", start_col="day", value="value",

@@ -172,3 +172,44 @@ def test_tier_cascade_conserves_sum(spark):
         + m_retained.toPandas()["value"].sum()
     )
     assert grand == total
+
+
+def test_upsample_sparse_gap_ffill(spark):
+    """Standalone R7 upsample on GAPPY input must match the reference's
+    resample(freq).ffill() (lib2/calculate_formulas.py:183-190): a missing
+    coarse day is filled by the previous point, and SUM divides by the
+    ACTUAL claimed-slot count (48 across a one-day gap), conserving the
+    series total — the r4-verdict divergence of the dense-only operator."""
+    from timeseries_harmonizer_spark.operators.rollup import upsample
+
+    days = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-04", "2024-01-05"]  # Jan 3 missing
+    )
+    vals = [24.0, 48.0, 96.0, 12.0]
+    pdf = pd.DataFrame({"url": "u", "start": days, "value": vals})
+    sdf = spark.createDataFrame(pdf)
+
+    # pandas oracle over the full claimed span (last point claims one full day)
+    idx = pd.date_range(days.min(), days.max() + pd.Timedelta("23h"), freq="h")
+    locf = pd.Series(vals, index=days).reindex(idx, method="ffill")
+    src_ts = pd.Series(days, index=days).reindex(idx, method="ffill")
+    n_claimed = src_ts.map(src_ts.value_counts()).astype("float64")
+
+    got_locf = (
+        upsample(sdf, agg="last", from_seconds=86400, to_seconds=3600)
+        .orderBy("start").toPandas()
+    )
+    assert (pd.DatetimeIndex(got_locf["start"]) == idx).all()
+    np.testing.assert_allclose(got_locf["value"].to_numpy(), locf.to_numpy())
+
+    got_sum = (
+        upsample(sdf, agg="sum", from_seconds=86400, to_seconds=3600)
+        .orderBy("start").toPandas()
+    )
+    np.testing.assert_allclose(
+        got_sum["value"].to_numpy(), (locf / n_claimed).to_numpy()
+    )
+    # the gap day spreads 48.0 over 48 slots; totals are conserved
+    jan3 = got_sum[got_sum["start"].dt.normalize() == pd.Timestamp("2024-01-03")]
+    assert len(jan3) == 24 and np.allclose(jan3["value"], 1.0)
+    np.testing.assert_allclose(got_sum["value"].sum(), sum(vals))

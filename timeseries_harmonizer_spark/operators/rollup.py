@@ -442,25 +442,43 @@ def upsample(
     from_seconds: int = 3600,
     to_seconds: int = 60,
 ) -> DataFrame:
-    """R7: refine coarse points to a finer grid by LOCF; SUM series divide
-    each source value across the fine slots it covers (reference
-    lib2/calculate_formulas.py:183-190)."""
+    """R7: refine coarse points to a finer grid by LOCF with the reference's
+    ``resample(freq).ffill()`` semantics (lib2/calculate_formulas.py:183-190):
+    each source point claims every fine slot in [its ts, next point's ts) —
+    so a MISSING coarse window is filled by the previous point, not left
+    empty — and SUM series divide the source value by the ACTUAL number of
+    claimed slots (a point followed by a gap spreads thinner, conserving the
+    series total). The final point of each series claims one full coarse
+    window ([ts, ts+from_seconds)), matching the tier contract that a coarse
+    point describes its whole window.
+
+    Plan shape: one hash exchange on the series key (the lead window), then
+    a slot explode — identical to the formula engine's `_upsample`
+    (plans/formula.py), which this operator mirrors; no range join, no
+    BroadcastNestedLoopJoin."""
+    from pyspark.sql import Window as W
+
     assert from_seconds % to_seconds == 0
-    slots = from_seconds // to_seconds
     src = points.select(
         F.col(key).alias("__k"),
         F.unix_timestamp(F.col(start_col)).alias("__s"),
         F.col(value).alias("__v"),
     )
-    fine = src.select(
-        "__k",
-        "__v",
-        F.explode(
-            F.sequence(F.col("__s"), F.col("__s") + from_seconds - to_seconds, F.lit(to_seconds))
-        ).alias("__w"),
+    nxt = F.lead("__s").over(W.partitionBy("__k").orderBy("__s"))
+    end = F.coalesce(nxt, F.col("__s") + from_seconds)  # exclusive claim end
+    # last claimed slot: highest to_seconds-multiple offset strictly < end
+    last = F.col("__s") + F.floor((end - 1 - F.col("__s")) / to_seconds) * to_seconds
+    spans = src.select(
+        "__k", "__v", "__s", last.cast("long").alias("__l")
     )
     if agg == "sum":
-        fine = fine.withColumn("__v", F.col("__v") / F.lit(float(slots)))
+        n_slots = (F.col("__l") - F.col("__s")) / to_seconds + 1
+        spans = spans.withColumn("__v", F.col("__v") / n_slots)
+    fine = spans.select(
+        "__k",
+        "__v",
+        F.explode(F.sequence("__s", "__l", F.lit(to_seconds))).alias("__w"),
+    )
     return fine.select(
         F.col("__k").alias(key),
         F.timestamp_seconds(F.col("__w")).alias(start_col),
