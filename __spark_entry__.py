@@ -2242,6 +2242,67 @@ def q59(spark, sf_dir):
 
 
 @_q(
+    "q61_pv_repair_values",
+    # closed-form PV repair (r4 verdict #3): every over-export is absorbable
+    # by its +1 neighbor alone, so the sequential kernel's result is exactly
+    # exp'[i] = gen[i], exp'[i+1] += excess — SQL-expressible. All values are
+    # dyadic rationals (integer gen, 1/2 and 1/4 fractions), so the kernel's
+    # float adds/subs are EXACT and the oracle equality is bit-for-bit.
+    """
+    WITH g AS (
+      SELECT event_type AS system, date_trunc('hour', ts) AS start,
+             CAST(floor(sum(value)) + 1 AS DOUBLE) AS gen
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT system, start, gen,
+             row_number() OVER (PARTITION BY system ORDER BY start) AS rn,
+             count(*) OVER (PARTITION BY system) AS n
+      FROM g
+    ), p AS (
+      SELECT system, start, gen,
+             (rn % 8 = 4 AND rn < n) AS prob,
+             coalesce(lag(rn % 8 = 4 AND rn < n)
+                      OVER (PARTITION BY system ORDER BY start), FALSE) AS prev_prob
+      FROM r
+    )
+    SELECT system, start,
+           CASE WHEN prob THEN gen
+                WHEN prev_prob THEN 0.75 * gen
+                ELSE 0.5 * gen END AS value
+    FROM p
+    """,
+)
+def q61(spark, sf_dir):
+    """K1/K2 PV repair VALUE-checked at the driver: over-exports (every 8th
+    row per system, 1.25x capacity) sized so the +1 neighbor's spare
+    capacity absorbs the whole excess in the kernel's first redistribution
+    step (reference post_process/pv_postprocess.py:26-68); q59 keeps
+    exercising the multi-neighbor/rollback path rows-only."""
+    from pyspark.sql import Window as W
+
+    from timeseries_harmonizer_spark.operators.postprocess import pv_postprocess
+
+    g = (
+        _hourly(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("system"), F.col("hour").alias("start"))
+        .agg((F.floor(F.sum("value")) + 1).cast("double").alias("gen"))
+    )
+    w = W.partitionBy("system").orderBy("start")
+    wn = W.partitionBy("system")
+    g = g.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    prob = (F.col("rn") % 8 == 4) & (F.col("rn") < F.col("n"))
+    exp_val = F.when(
+        prob, F.col("gen") + 0.25 * F.lead("gen").over(w)
+    ).otherwise(0.5 * F.col("gen"))
+    gen_df = g.select("system", "start", F.col("gen").alias("value"))
+    exp_df = g.select("system", "start", exp_val.alias("value"))
+    out = pv_postprocess(gen_df, exp_df, key="system")
+    return out.select("system", "start", "value")
+
+
+@_q(
     "q60_streaming_tumbling",
     """
     SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -2320,6 +2381,10 @@ _LOCAL_ONLY = [
     "q09_session_stats",         # R5 sessionize — q08
     "q11_gapfill_interp",        # R8 dense reindex — q10
     "q12_downsample_1d",         # R6 downsample — q42 (also pins R9)
+    "q14_overlap_trim",          # D4 = cutoff filter + tumbling count — q04
+                                 # pins the agg; the cutoff is pinned by the
+                                 # TierConfig tests + local validator. Yields
+                                 # its slot to q61 (PV values, r4 verdict #3)
     "q21_kpi_clip",              # P11/P14 — q39, q22
     "q26_clip_function",         # F-CLIP — q25, q41
     "q49_asof_join_forward",     # as-of join — q46
