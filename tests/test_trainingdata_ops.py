@@ -459,3 +459,54 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     out, r = decode_wav(encode_wav(s, rate))
     assert r == rate and out.shape == (n, ch)
     assert np.abs(out - np.clip(s, -1, 1)).max() <= 1 / 32767 + 1e-12
+
+
+def test_connected_components_star_matches_label(spark):
+    """Star algorithm == min-label on a clustered random graph, and the
+    'star' / explicit-algorithm paths agree with the planted clusters."""
+    rng = np.random.default_rng(11)
+    # 30 planted clusters of 2-9 nodes, edges random within each cluster
+    rows_a, rows_b = [], []
+    base = 0
+    for _ in range(30):
+        k = int(rng.integers(2, 10))
+        ids = np.arange(base, base + k)
+        for _ in range(k + 2):
+            a, b = rng.choice(ids, 2, replace=False)
+            rows_a.append(int(a)), rows_b.append(int(b))
+        base += k + int(rng.integers(0, 3))  # id gaps between clusters
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": rows_a, "id_b": rows_b}))
+    lab = D.connected_components(pairs, algorithm="label").toPandas()
+    star = D.connected_components(pairs, algorithm="star").toPandas()
+    assert (
+        lab.sort_values("id").reset_index(drop=True)
+        .equals(star.sort_values("id").reset_index(drop=True))
+    )
+
+
+def test_connected_components_star_path_graph_log_rounds(spark):
+    """r4 verdict #4: a 10^5-node PATH graph — the min-label worst case
+    (needs 10^5 rounds) — must converge in O(log n) star rounds with every
+    node labeled 0; 'auto' must hand this shape to the star path."""
+    n = 100_000
+    path = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    out = D.connected_components_star(path, stats=stats)
+    assert stats["rounds"] <= 40, stats  # ~2*log2(n), not diameter
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("component").alias("ncomp"),
+        F.max("component").alias("mx"),
+    ).first()
+    assert (agg["n"], agg["ncomp"], agg["mx"]) == (n, 1, 0)
+
+    # the auto heuristic: min-label does not converge in its probe rounds
+    # on a path, so auto falls through to the star result
+    small_path = spark.range(499).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    auto = D.connected_components(small_path, algorithm="auto")
+    a = auto.agg(F.countDistinct("component"), F.max("component")).first()
+    assert tuple(a) == (1, 0)

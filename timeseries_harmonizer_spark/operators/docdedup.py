@@ -336,11 +336,92 @@ def simhash_near_dups(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 60,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", 2014 — public
+    algorithm). Unlike min-label propagation (diameter rounds: a 10^5-node
+    path graph needs 10^5 rounds), the star operations contract path
+    distances geometrically and converge in O(log) rounds on any graph
+    shape, so this is the scale path for adversarially deep dup-graphs
+    (r4 verdict #4).
+
+    Edges are kept as a canonical big->small pair set. Per round:
+    - large-star: every node attaches its strictly LARGER neighbors to the
+      minimum of its neighborhood (incl. itself),
+    - small-star: every node attaches itself and its smaller neighbors to
+      its minimum neighbor.
+    Both are one groupBy(min) + one join keyed on the node id; lineage is
+    truncated per round (localCheckpoint). Converged when the edge set is
+    stable — it is then a star forest: every node points at its component
+    minimum. ``stats['rounds']`` reports the rounds used."""
+    u, v = F.col("u"), F.col("v")
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        # large-star over the symmetric neighborhoods
+        sym = e.unionByName(e.select(v.alias("u"), u.alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .where(v > u)
+            .select(v.alias("u"), F.least(u, F.col("mn")).alias("v"))
+            .distinct()
+        )
+        # small-star over the (big -> small) edges
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        new_e = (
+            large.join(mins2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(u.alias("x"), F.col("mn").alias("y")),
+                        F.struct(v.alias("x"), F.col("mn").alias("y")),
+                    )
+                ).alias("s")
+            )
+            .select(F.col("s.x").alias("u"), F.col("s.y").alias("v"))
+            .where(u != v)
+            .distinct()
+            .localCheckpoint()
+        )
+        # stable edge set (both are distinct sets: same size + no additions)
+        if new_e.count() == e.count() and new_e.subtract(e).isEmpty():
+            e = new_e
+            break
+        e = new_e
+    if stats is not None:
+        stats["rounds"] = rounds
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    final = e.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(final, nodes["id"] == final["u"], "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Dedup clustering: connected components over a near-dup pair list,
     returning (id, component) with component = the minimum id reachable.
@@ -354,9 +435,17 @@ def connected_components(
     truncated per round (localCheckpoint) so the plan doesn't grow
     exponentially; the loop is driver-coordinated but each round is a fully
     distributed job (the classic Pregel-style CC, public algorithm).
-    Stops early when a round changes no labels; max_iter bounds adversarial
-    path graphs (a 10^7-node path would need a large-star/small-star
-    variant instead — documented tradeoff, not a silent cap)."""
+    Stops early when a round changes no labels.
+
+    ``algorithm``: 'label' = min-label only; 'star' = delegate to
+    :func:`connected_components_star` (O(log) rounds on any diameter);
+    'auto' (default) = run min-label for a few rounds — optimal for the
+    clique-ish graphs near-dup mining produces — and hand unconverged
+    (high-diameter) graphs to the star algorithm instead of grinding
+    diameter rounds."""
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a, id_b)
+    switch_after = 4 if algorithm == "auto" else max_iter
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -368,7 +457,8 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    converged = False
+    for i in range(min(switch_after, max_iter)):
         nbr = (
             edges.withColumnRenamed("s", "id")
             .join(labels, "id")
@@ -389,5 +479,10 @@ def connected_components(
         changed = new_labels.where(F.col("new_lbl") != F.col("old_lbl")).count()
         labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
+            converged = True
             break
+    if not converged and algorithm == "auto":
+        # high-diameter graph: min-label would need diameter rounds —
+        # restart with the star algorithm (O(log) rounds regardless)
+        return connected_components_star(pairs, id_a, id_b)
     return labels.select("id", F.col("lbl").alias("component"))
