@@ -595,6 +595,17 @@ def rollup_exact_chunked(
     Negative-diff dropping (R1 step 1) runs as a native window op BEFORE
     chunking, because a dropped row changes its neighbors' interpolation —
     it must be decided globally, not per chunk.
+
+    The kernel's FIRST replay step — the 1s-floor mean over colliding raw
+    rows — is associative, so it runs natively (groupBy second + avg)
+    BEFORE the Arrow boundary: a url+second with 10^6 raw collisions is
+    collapsed map-side by the partial aggregate, and every Arrow group is
+    hard-bounded at chunk_windows*freq_seconds rows (+1 overlap) no matter
+    how degenerate the raw input (r4 verdict #5). The kernel enforces the
+    bound with an assertion rather than trusting it. For SUM the pre-agg
+    rides the negative-diff window's existing hash partitioning (keys ⊆
+    grouping → no extra exchange); for AVG it IS the first exchange and
+    shuffles only per-second partials, never raw collisions.
     """
     from timeseries_harmonizer_spark.operators.cleaning import drop_negative_diffs
 
@@ -604,6 +615,10 @@ def rollup_exact_chunked(
     df = df.where(F.col(value).isNotNull()).select(*keys, ts_col, value)
     if agg_func == "SUM":
         df = drop_negative_diffs(df, keys, ts_col, value)
+    # native 1s-collision collapse == the kernel's resample('1s').mean()
+    df = df.groupBy(
+        *keys, F.date_trunc("second", F.col(ts_col)).alias(ts_col)
+    ).agg(F.avg(value).alias(value))
     ts_s = F.unix_timestamp(F.col(ts_col))
     df = df.withColumn("__chunk", F.floor(ts_s / span))
     w = W.partitionBy(*keys).orderBy(ts_col)
@@ -622,6 +637,10 @@ def rollup_exact_chunked(
     out_schema = f"{key} string, start timestamp, cnt long, total double"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > span + 1:  # pre-agg guarantees ≤1 row/second + overlap
+            raise AssertionError(
+                f"Arrow group exceeds pre-agg bound: {len(pdf)} > {span + 1}"
+            )
         pdf = pdf.sort_values(ts_col)
         s = pd.Series(pdf[value].to_numpy(), index=pd.DatetimeIndex(pdf[ts_col]))
         has_overlap = bool(pdf["__is_overlap"].iloc[0]) if len(pdf) else False
