@@ -222,3 +222,44 @@ def test_pv_spark_stage(spark):
         pd.Series([10.0] * 6, index=idx), pd.Series([5.0, 5, 20, 5, 5, 5], index=idx)
     )
     assert np.allclose(got, er.to_numpy(), equal_nan=True)
+
+
+def test_postprocessor_plugin_registry(spark, pages, reg):
+    """K4 protocol: a NEW processor participates via registration alone —
+    run_postprocessors picks it up without any pipeline change — and the
+    built-in PV energy-balance registrant runs over the points it claims."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from timeseries_harmonizer_spark.operators import postprocess as PP
+    from timeseries_harmonizer_spark.plans import pipeline
+
+    pts, _ = pipeline.run_tier(pages, reg, "1h", persist=False)
+
+    class NightZeroToy(PP.PostProcessor):
+        name = "night_zero_toy"
+
+        def get_systems(self, registry, tier_name):
+            return registry.where(F.col("property") == "Status")
+
+        def process(self, points, systems, tier_name):
+            return points.where(F.hour("start") < 6).select(
+                "url", "start", F.lit(0.0).alias("value")
+            )
+
+    PP.register_postprocessor(NightZeroToy())
+    try:
+        results = pipeline.run_postprocessors(pts, reg, "1h")
+        assert set(results) >= {"pv_energy_balance", "night_zero_toy"}
+        toy = results["night_zero_toy"].toPandas()
+        # the toy only ever saw Status systems, only emitted night hours
+        status_urls = set(
+            reg.where("property = 'Status'").toPandas()["url"]
+        )
+        assert set(toy["url"]) <= status_urls
+        assert (toy["value"] == 0.0).all()
+        assert isinstance(results["pv_energy_balance"], DataFrame)
+        pv = results["pv_energy_balance"]
+        assert pv.columns == ["system", "start", "value"]
+        pv.count()  # materializes the PV plan end-to-end
+    finally:
+        PP.unregister_postprocessor("night_zero_toy")

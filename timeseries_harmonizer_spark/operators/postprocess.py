@@ -62,3 +62,85 @@ def pv_postprocess(
             freq_seconds=freq_seconds, ts_ini=ts_ini, ts_end=ts_end,
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# K4 — post-processor plugin protocol + registry
+# ---------------------------------------------------------------------------
+
+import abc
+
+
+class PostProcessor(abc.ABC):
+    """K4 plugin protocol — the reference's Processor ABC
+    (harmonizers/post_process/__init__.py:1-13: ``name`` /
+    ``get_devices(frequency)`` / ``process_device(...)``) re-expressed over
+    DataFrames: ``get_systems`` declares which registry series the
+    processor claims for a tier; ``process`` receives the tier's points
+    restricted to the claimed systems and returns the REPAIRED rows only
+    (update-only emission, matching the reference writing back just the
+    modified device series). Registration is by object, so deployments add
+    processors without touching pipeline code."""
+
+    name: str = ""
+
+    @abc.abstractmethod
+    def get_systems(self, registry: DataFrame, tier_name: str) -> DataFrame:
+        """Subset of registry rows (must keep ``url``) this processor
+        claims at this tier; the pipeline broadcast-joins it against the
+        points (J1 — the registry is the small dimension)."""
+
+    @abc.abstractmethod
+    def process(
+        self, points: DataFrame, systems: DataFrame, tier_name: str
+    ) -> DataFrame:
+        """Claimed points -> repaired/update rows (processor-shaped)."""
+
+
+_REGISTRY: dict[str, PostProcessor] = {}
+
+
+def register_postprocessor(proc: PostProcessor) -> PostProcessor:
+    _REGISTRY[proc.name] = proc
+    return proc
+
+
+def unregister_postprocessor(name: str) -> None:
+    _REGISTRY.pop(name, None)
+
+
+def registered_postprocessors() -> tuple[PostProcessor, ...]:
+    return tuple(_REGISTRY.values())
+
+
+class PVEnergyBalanceProcessor(PostProcessor):
+    """First registrant: the K1/K2 energy-balance repair as a plugin.
+    Claims EnergyGeneration + EnergyConsumptionGridElectricity series;
+    a 'system' is the url's domain (the device analog), its generation /
+    exported pair being the domain-wide sums per tier window. Emits the
+    repaired exported series for systems that needed repair (reference
+    post_process/pv_postprocess.py:70-103 update-only write-back)."""
+
+    name = "pv_energy_balance"
+    GEN, EXP = "EnergyGeneration", "EnergyConsumptionGridElectricity"
+
+    def get_systems(self, registry: DataFrame, tier_name: str) -> DataFrame:
+        return registry.where(F.col("property").isin(self.GEN, self.EXP))
+
+    def process(
+        self, points: DataFrame, systems: DataFrame, tier_name: str
+    ) -> DataFrame:
+        dom = F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("system")
+        tagged = points.select("url", "start", "value").join(
+            F.broadcast(systems.select("url", "property")), "url"
+        ).select(dom, "property", "start", "value")
+        series = {
+            p: tagged.where(F.col("property") == p)
+            .groupBy("system", "start")
+            .agg(F.sum("value").alias("value"))
+            for p in (self.GEN, self.EXP)
+        }
+        return pv_postprocess(series[self.GEN], series[self.EXP], key="system")
+
+
+register_postprocessor(PVEnergyBalanceProcessor())

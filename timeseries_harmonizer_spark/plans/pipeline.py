@@ -189,3 +189,30 @@ def run_tier(
     pts = shape_points(rollup_points(prepared, tier, exact=exact), registry, tier)
     payloads = tier_payloads(prepared, tier)
     return pts, payloads
+
+
+def run_postprocessors(
+    points: DataFrame,
+    registry: DataFrame,
+    tier_name: str = "1h",
+    processors=None,
+) -> dict[str, DataFrame]:
+    """K4: run every registered :class:`PostProcessor` plugin over the
+    tier's points (reference launcher invoking Processor.get_devices /
+    process_device per post-process module). Each processor sees only the
+    points of the systems it claims (broadcast semi-join on the registry
+    dimension) and returns its update-only repair rows; results are keyed
+    by processor name. New processors participate by registration alone —
+    this function never changes."""
+    from timeseries_harmonizer_spark.operators.postprocess import (
+        registered_postprocessors,
+    )
+
+    out: dict[str, DataFrame] = {}
+    for proc in processors if processors is not None else registered_postprocessors():
+        systems = proc.get_systems(registry, tier_name)
+        claimed = points.join(
+            F.broadcast(systems.select("url").distinct()), "url", "left_semi"
+        )
+        out[proc.name] = proc.process(claimed, systems, tier_name)
+    return out
