@@ -2320,10 +2320,14 @@ def q60(spark, sf_dir):
     run takes tens of seconds — but the local validator value-checks it
     every round; batch-parity of the other streaming operators is pinned by
     tests/test_streaming.py.)"""
+    import os
     import shutil
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="q60_out_")
+    # FIXED output dir, overwritten per run: a mkdtemp here leaked one
+    # parquet dir per validator run (ADVICE r4). The checkpoint dir must
+    # stay fresh (a stale one would make the stream resume, not replay).
+    out = os.path.join(tempfile.gettempdir(), "tsh_q60_out")
     ck = tempfile.mkdtemp(prefix="q60_ck_")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the sf tables are single FILES; the file-stream source needs a
