@@ -20,8 +20,10 @@ import os
 import threading
 import time
 
+import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from timeseries_harmonizer_spark.sources.tables import (
     Catalog,
@@ -269,3 +271,46 @@ def test_time_travel_and_dynamic_partition_overwrite(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         cat._load_version("t", v1)
     assert cat.last_snapshot_id("t") == v2
+
+
+def test_manifest_data_skipping(spark, tmp_path):
+    """Per-file min/max stats land in the manifest at commit time and
+    read(where=(col, lo, hi)) prunes non-intersecting files BEFORE Spark
+    lists anything (the Iceberg data-skipping analog). Pruning is
+    conservative: values are still exact after the real filter."""
+    base = str(tmp_path / "wh7")
+    cat = Catalog(base)
+    # three appends covering disjoint day ranges -> three stat'd files
+    for day in ("2024-01-01", "2024-02-01", "2024-03-01"):
+        idx = pd.date_range(day, periods=24, freq="1h")
+        cat.write(
+            "t",
+            spark.createDataFrame(
+                pd.DataFrame({"start": idx, "v": np.arange(24.0)})
+            ).coalesce(1),
+            mode="append",
+        )
+    _, state = cat._head("t")
+    assert len(state["files"]) == 3
+    assert all(
+        "start" in state["stats"][f] for f in state["files"]
+    ), state["stats"]
+
+    lo, hi = pd.Timestamp("2024-02-01"), pd.Timestamp("2024-02-02")
+    pruned = cat.read(spark, "t", where=("start", lo, hi))
+    assert len(pruned.inputFiles()) == 1  # two files skipped from the manifest
+    got = (
+        pruned.where(F.col("start").between(F.lit(lo), F.lit(hi)))
+        .orderBy("start").toPandas()
+    )
+    full = (
+        cat.read(spark, "t")
+        .where(F.col("start").between(F.lit(lo), F.lit(hi)))
+        .orderBy("start").toPandas()
+    )
+    pd.testing.assert_frame_equal(got, full)
+    assert len(got) == 24
+    # a range touching nothing prunes everything -> empty-read error
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "t", where=("start", pd.Timestamp("2030-01-01"),
+                                    pd.Timestamp("2030-01-02")))

@@ -44,6 +44,10 @@ def get_spark(
         # explicit so a misconfigured cluster profile can't silently disable
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # TIMESTAMP_MICROS (Iceberg's mandated encoding) instead of the
+        # deprecated INT96 default: INT96 columns carry NO parquet min/max
+        # stats, which would blind the catalog's manifest data skipping
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -164,6 +164,7 @@ class Catalog:
         snap: Snapshot,
         added: list[str],
         expected_parent: int | None = None,
+        added_stats: dict[str, dict] | None = None,
     ) -> int:
         """Optimistic commit loop: read head, compute the new tracked file
         list from ``snap.mode``, CAS-publish head+1. Appends and partition
@@ -189,14 +190,90 @@ class Catalog:
             else:  # overwrite / rewrite: staged segment replaces everything
                 files = list(added)
             snap.snapshot_id = head_v + 1
+            kept = set(files)
+            stats = {
+                f: st
+                for f, st in state.get("stats", {}).items()
+                if f in kept
+            }
+            stats.update(added_stats or {})
             new_state = {
                 "snapshots": state["snapshots"] + [asdict(snap)],
                 "files": files,
+                "stats": stats,
             }
             if self._try_publish(snap.table, head_v + 1, new_state):
                 return snap.snapshot_id
             # lost the CAS race — loop re-reads the new head and retries
             # (or raises CommitConflict above when a parent was pinned)
+
+    # -- file statistics (manifest data skipping) --------------------------
+    @staticmethod
+    def _stats_value(v):
+        """JSON-able, ORDER-PRESERVING encoding of a parquet stat value:
+        numbers pass through; timestamps/dates become ISO strings (which
+        compare lexicographically in timestamp order)."""
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ")
+        if isinstance(v, (int, float, str)):
+            return v
+        return None
+
+    def _collect_file_stats(
+        self, name: str, files: list[str], cols: list[str]
+    ) -> dict[str, dict]:
+        """Min/max per requested column from each staged file's parquet
+        footer (no data read) — the manifest-level data-skipping stats
+        Iceberg keeps per data file. Columns with no usable stats are
+        simply absent; skipping is conservative."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for f in files:
+            md = pq.ParquetFile(
+                os.path.join(self._data_dir(name), f)
+            ).metadata
+            per_col: dict[str, list] = {}
+            bad: set[str] = set()  # any row group without min/max -> no stat
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    cname = col.path_in_schema
+                    if cname not in cols or cname in bad:
+                        continue
+                    st = col.statistics
+                    lo = self._stats_value(st.min) if st and st.has_min_max else None
+                    hi = self._stats_value(st.max) if st and st.has_min_max else None
+                    if lo is None or hi is None:
+                        bad.add(cname)
+                        per_col.pop(cname, None)
+                        continue
+                    if cname in per_col:
+                        per_col[cname] = [
+                            min(per_col[cname][0], lo),
+                            max(per_col[cname][1], hi),
+                        ]
+                    else:
+                        per_col[cname] = [lo, hi]
+            if per_col:
+                out[f] = per_col
+        return out
+
+    @staticmethod
+    def _default_stats_cols(df: DataFrame) -> list[str]:
+        from pyspark.sql import types as T
+
+        return [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType,
+                (T.TimestampType, T.TimestampNTZType, T.DateType),
+            )
+        ]
 
     # -- staging -----------------------------------------------------------
     def _stage(
@@ -237,13 +314,21 @@ class Catalog:
         partition_by: list[str] | None = None,
         watermark: str | None = None,
         count_rows: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Write a table; returns the committed snapshot id (== version).
 
         ``overwrite`` is safe even when ``df`` derives from this same table
         (the classic Spark can't-overwrite-what-it-reads trap): the read
-        targets the old segments, the write stages a new one."""
+        targets the old segments, the write stages a new one.
+
+        ``stats_cols`` (default: every timestamp/date column) get per-file
+        min/max recorded in the manifest from the parquet footers — the
+        Iceberg data-skipping stats ``read(where=...)`` prunes with."""
         added = self._stage(name, df, partition_by)
+        cols = (
+            stats_cols if stats_cols is not None else self._default_stats_cols(df)
+        )
         return self._commit_files(
             Snapshot(
                 snapshot_id=-1,  # assigned by the winning CAS
@@ -254,6 +339,7 @@ class Catalog:
                 watermark=watermark,
             ),
             added,
+            added_stats=self._collect_file_stats(name, added, cols) if cols else None,
         )
 
     def rewrite(
@@ -281,6 +367,7 @@ class Catalog:
             else self._head(name)[0]
         )
         added = self._stage(name, df, partition_by)
+        cols = self._default_stats_cols(df)
         try:
             return self._commit_files(
                 Snapshot(
@@ -293,6 +380,7 @@ class Catalog:
                 ),
                 added,
                 expected_parent=parent,
+                added_stats=self._collect_file_stats(name, added, cols) if cols else None,
             )
         except CommitConflict:
             self._discard_segment(name, added)
@@ -343,21 +431,46 @@ class Catalog:
 
     # -- reads ---------------------------------------------------------
     def read(
-        self, spark: SparkSession, name: str, version: int | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        where: tuple | None = None,
     ) -> DataFrame:
         """Read the table at head (or a retained historical ``version`` —
         time travel). Only manifest-tracked files are scanned: uncommitted
         staged segments and superseded segments are invisible. Files are
         grouped per segment so Spark's partition discovery (``basePath``)
-        still recovers ``col=val`` partition columns and prunes on them."""
+        still recovers ``col=val`` partition columns and prunes on them.
+
+        ``where=(col, lo, hi)`` additionally skips files whose recorded
+        min/max range for ``col`` cannot intersect [lo, hi] — manifest-level
+        data skipping, decided from the snapshot alone before Spark lists a
+        single file (at 100 TB the planning win: a 7-day lookback over a
+        years-deep table plans against days of files, not years). This is a
+        pure pruning hint: the caller still applies the real filter, and
+        files without stats are always kept."""
         if version is None:
             version, state = self._head(name)
             if version == 0:
                 raise FileNotFoundError(f"table {name} has no snapshots")
         else:
             state = self._load_version(name, version)
+        files = state["files"]
+        if where is not None:
+            col, lo, hi = where
+            lo, hi = self._stats_value(lo), self._stats_value(hi)
+            stats = state.get("stats", {})
+
+            def keep(f: str) -> bool:
+                rng = stats.get(f, {}).get(col)
+                if rng is None:
+                    return True  # no stats -> conservative
+                return not (rng[1] < lo or rng[0] > hi)
+
+            files = [f for f in files if keep(f)]
         by_seg: dict[str, list[str]] = {}
-        for f in state["files"]:
+        for f in files:
             by_seg.setdefault(f.split("/", 1)[0], []).append(f)
         parts = []
         for seg, files in sorted(by_seg.items()):
