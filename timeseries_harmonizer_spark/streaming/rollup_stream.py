@@ -296,6 +296,50 @@ def run_compressed_sink(
     q.awaitTermination()
 
 
+def run_compressed_sink_catalog(
+    points: DataFrame,
+    catalog,
+    table: str,
+    checkpoint: str,
+    tier_name: str = "1h",
+    key: str = "url",
+    start_col: str = "start",
+    value: str = "value",
+) -> None:
+    """:func:`run_compressed_sink` landing through the snapshot catalog:
+    each micro-batch CAS-commits one ``overwrite_partitions`` snapshot on
+    its ``batch_id`` partition, so a replayed batch (foreachBatch is
+    at-least-once) REPLACES its own partition's files in the manifest
+    instead of appending duplicates — idempotent at rest, and the stream
+    gains commit lineage: one snapshot per micro-batch, batch id in the
+    watermark field, time-travel to any prior batch boundary. This is the
+    streaming face of the Iceberg-style commit protocol in
+    ``sources/tables.py``; concurrent batch writers to the same table are
+    safe because partition overwrites merge on CAS retry."""
+    from timeseries_harmonizer_spark.operators.compress import compress_points
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        blobs = compress_points(
+            batch_df, tier_name, key=key, start_col=start_col, value=value,
+            partitions=batch_df.sparkSession.sparkContext.defaultParallelism,
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        catalog.write(
+            table,
+            blobs,
+            mode="overwrite_partitions",
+            partition_by=["batch_id"],
+            watermark=f"batch_id={int(batch_id)}",
+        )
+
+    q = (
+        points.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     agg: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
 ) -> None:
