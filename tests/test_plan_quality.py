@@ -291,3 +291,36 @@ def test_chunked_last_adds_no_fact_exchange(spark, pages, reg, tmp_path):
         assert key == "url" and origin == "REPARTITION_BY_NUM", (
             f"unexpected fact exchange ({key}, {origin}):\n{plan}"
         )
+
+
+def test_chunked_sum_preagg_adds_no_fact_exchange(spark, pages, reg, tmp_path):
+    """r5: the native 1s-collision pre-aggregate in rollup_exact_chunked's
+    SUM path must ride the negative-diff window's hash partitioning — the
+    only fact exchange in the whole plan remains prepare's explicit url
+    repartition, with the groupBy(keys, second) satisfied as a subset
+    clustering (partial agg combines collisions map-side, no new shuffle)
+    and the chunk/overlap/applyInPandas stages co-partitioned after it."""
+    from timeseries_harmonizer_spark.config import TIERS
+    from timeseries_harmonizer_spark.operators.rollup import rollup_exact_chunked
+    from timeseries_harmonizer_spark.plans.pipeline import prepare
+
+    path = str(tmp_path / "pages_pq4")
+    pages.write.parquet(path)
+    prepared = prepare(spark.read.parquet(path), reg, TIERS["1h"]).where(
+        F.col("agg_func") == "SUM"
+    )
+    q = rollup_exact_chunked(
+        prepared, agg_func="SUM", freq_seconds=3600,
+        session_col="session_id", chunk_windows=5,
+    )
+    plan = _plan(q)
+    fact_blocks = re.findall(
+        r"\(\d+\) Exchange\nInput[^\n]*warc_ts[^\n]*\n"
+        r"Arguments: hashpartitioning\((\w+)[^\n]*?\), (\w+)",
+        plan,
+    )
+    assert fact_blocks, plan
+    for key, origin in fact_blocks:
+        assert key == "url" and origin == "REPARTITION_BY_NUM", (
+            f"unexpected fact exchange ({key}, {origin}):\n{plan}"
+        )
