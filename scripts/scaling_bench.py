@@ -22,8 +22,18 @@ import sys
 import time
 from concurrent.futures import ProcessPoolExecutor
 
-N_URLS, PPU = 20000, 800  # ~16.7M raw rows
-TIMED_REPS = 3
+import os as _os
+
+# Default config (~16M raw rows) is the round-2..5 continuity config.
+# SCALE_N_URLS/SCALE_PPU grow the job to amortize the ~15 s per-JOB fixed
+# cost (JIT, planning, stage scheduling) that a short run cannot hide:
+# from the cross-round records, T(c) ~= 15 s + 214 s/(c/2) — the parallel
+# fraction scales ~4.0x/4 while the fixed term compresses the measured
+# ratio. A longer job is the faithful proxy for the hours-long jobs a
+# 100 TB cluster actually runs.
+N_URLS = int(_os.environ.get("SCALE_N_URLS", "20000"))
+PPU = int(_os.environ.get("SCALE_PPU", "800"))
+TIMED_REPS = int(_os.environ.get("SCALE_REPS", "3"))
 CORES_LO, CORES_HI = 2, 8  # N vs 4N; this box grants ~3.8x real cores in this range (the 8->32 top end is SMT/host-contended, see calibration)  # host contention here is bursty; min-of-reps is the robust estimator
 
 
