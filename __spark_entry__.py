@@ -443,30 +443,29 @@ def q11(spark, sf_dir):
     """,
 )
 def q12(spark, sf_dir):
+    # r6: both measures (the value sum and the count) ride ONE downsample
+    # pass — the old one-downsample-per-measure + self-join re-scanned
+    # events twice and paid a join exchange for rows that share a key by
+    # construction (guide §2.4; plan: 7 exchanges -> 3, one scan).
     from timeseries_harmonizer_spark.operators.rollup import downsample
 
     hourly = (
         _hourly(spark, sf_dir)
         .groupBy("user_id", "hour")
-        .agg(F.sum("value").alias("value"), F.count("*").alias("n"))
+        .agg(
+            F.sum("value").alias("value"),
+            F.count("*").cast("double").alias("n"),
+        )
     )
     day = downsample(
-        hourly, key="user_id", start_col="hour", value="value",
+        hourly, key="user_id", start_col="hour", value=["value", "n"],
         agg="sum", from_seconds=3600, to_seconds=86400,
     )
-    n = downsample(
-        hourly.withColumn("value", F.col("n").cast("double")),
-        key="user_id", start_col="hour", value="value",
-        agg="sum", from_seconds=3600, to_seconds=86400,
-    ).withColumnRenamed("value", "n")
-    return (
-        day.join(n, ["user_id", "hour"])
-        .select(
-            "user_id",
-            F.col("hour").alias("day"),
-            F.round("value", 2).alias("vsum"),
-            F.col("n").cast("long").alias("n"),
-        )
+    return day.select(
+        "user_id",
+        F.col("hour").alias("day"),
+        F.round("value", 2).alias("vsum"),
+        F.col("n").cast("long").alias("n"),
     )
 
 

@@ -86,10 +86,15 @@ def test_prepare_single_exchange(spark, pages, reg, tmp_path):
     binary never crosses it (pruned before the shuffle)."""
     from timeseries_harmonizer_spark.config import TIERS
     from timeseries_harmonizer_spark.plans.pipeline import prepare
+    from timeseries_harmonizer_spark.sources.webpages import registry
 
     path = str(tmp_path / "pages_pq2")
     pages.write.parquet(path)
-    q = prepare(spark.read.parquet(path), reg, TIERS["1h"])
+    stored = spark.read.parquet(path)
+    # build the registry from the STORED table (as bench/_gen_pages does):
+    # the generator's own output repartition would otherwise leak its
+    # lineage exchanges into the broadcast build side of this plan
+    q = prepare(stored, registry(spark, stored), TIERS["1h"])
     plan = _plan(q)
     # fact-side exchanges = hash exchanges whose input carries warc_ts; the
     # registry build (tiny dim behind a BroadcastExchange) doesn't count
@@ -274,9 +279,12 @@ def test_chunked_last_adds_no_fact_exchange(spark, pages, reg, tmp_path):
     from timeseries_harmonizer_spark.operators.rollup import rollup_native_last
     from timeseries_harmonizer_spark.plans.pipeline import prepare
 
+    from timeseries_harmonizer_spark.sources.webpages import registry
+
     path = str(tmp_path / "pages_pq3")
     pages.write.parquet(path)
-    prepared = prepare(spark.read.parquet(path), reg, TIERS["1h"])
+    stored = spark.read.parquet(path)
+    prepared = prepare(stored, registry(spark, stored), TIERS["1h"])
     q = rollup_native_last(
         prepared, freq_seconds=3600, session_col="session_id", chunk_windows=5
     )
@@ -304,9 +312,12 @@ def test_chunked_sum_preagg_adds_no_fact_exchange(spark, pages, reg, tmp_path):
     from timeseries_harmonizer_spark.operators.rollup import rollup_exact_chunked
     from timeseries_harmonizer_spark.plans.pipeline import prepare
 
+    from timeseries_harmonizer_spark.sources.webpages import registry
+
     path = str(tmp_path / "pages_pq4")
     pages.write.parquet(path)
-    prepared = prepare(spark.read.parquet(path), reg, TIERS["1h"]).where(
+    stored = spark.read.parquet(path)
+    prepared = prepare(stored, registry(spark, stored), TIERS["1h"]).where(
         F.col("agg_func") == "SUM"
     )
     q = rollup_exact_chunked(

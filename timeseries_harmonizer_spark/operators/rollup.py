@@ -289,14 +289,12 @@ def rollup_native_last(
 
     Volume bound (the 100x argument): tiers with ``gap_check=None`` (1d)
     have unbounded sessions, so one url with years of sparse history would
-    otherwise explode its whole span as ONE generator batch and fill it
-    under ONE window partition. Integer-frequency grids are therefore
-    chunked at ``chunk_windows`` dense windows (~35 days at 1m, ~5.7 years
-    at 1h): each chunk explodes and LOCF-fills independently, with the
-    carry-in value per chunk precomputed as a running last over the
-    (tiny, one-row-per-chunk) chunk summary — identical output, bounded
-    explode batch, bounded window-partition state. Calendar grids (P1W/P1M)
-    keep the direct span grid: decades are only hundreds of windows."""
+    otherwise explode its whole span as ONE generator batch. Integer-
+    frequency grids therefore bound every ``sequence``/explode batch at
+    ``chunk_windows`` windows (~35 days at 1m, ~5.7 years at 1h) via a
+    two-level explode over each observed window's claim span (see the
+    claim-span comment in the body). Calendar grids (P1W/P1M) keep the
+    direct span grid: decades are only hundreds of windows."""
     calendar = isinstance(freq_seconds, str)
     sess = F.col(session_col) if session_col else F.lit(0)
     win = _window_col(F.col(ts_col), freq_seconds, is_ts=True).alias("__w")
@@ -332,58 +330,46 @@ def rollup_native_last(
             is_real,
         )
     step = int(freq_seconds)
-    span_s = int(chunk_windows) * step  # seconds per chunk
-    # chunk index of an observed window, relative to the session's first
-    # window (window index // chunk_windows)
-    w0 = F.min("__w").over(W.partitionBy("__k", "__sess"))
-    obs = per_win.withColumn("__w0", w0).withColumn(
-        "__c", ((F.col("__w") - F.col("__w0")) / span_s).cast("long")
+    span_s = int(chunk_windows) * step  # explode-batch bound, in seconds
+    # r6 optimization (claim-span formulation): the dense grid + LEFT JOIN
+    # + per-chunk LOCF + carry-in machinery is equivalent to each observed
+    # window CLAIMING every grid slot up to (exclusive) the next observed
+    # window, filled with the running last non-null value at the claimant —
+    # the same derivation as `upsample`'s ffill. One window pass computes
+    # both the carry (last non-null __last so far) and the claim end
+    # (lead(__w) - step); a chunk-bounded double explode emits the slots.
+    # This removes the grid/per_win join, three groupBys and a second
+    # window sort from the old plan (plan: 2 exchanges fewer), while the
+    # per-row explode stays bounded: the outer sequence steps in chunk
+    # spans (gap/span rows), the inner in windows (<= chunk_windows rows).
+    wspec = W.partitionBy("__k", "__sess").orderBy("__w")
+    carry = F.last("__last", ignorenulls=True).over(
+        wspec.rowsBetween(W.unboundedPreceding, 0)
     )
-    # one summary row per NON-EMPTY chunk: its last observed value + the
-    # session span (w0/w1 ride along for the grid arithmetic)
-    chunk_last = obs.groupBy("__k", "__sess", "__c").agg(
-        F.expr("max_by(__last, __w) FILTER (WHERE __last IS NOT NULL)").alias("__cl"),
-        F.first("__w0").alias("__w0"),
-        F.max("__w").alias("__wmax"),
+    nxt = F.lead("__w").over(wspec)
+    claims = per_win.where(F.col("__w").isNotNull()).select(
+        "__k",
+        "__w",
+        "__nraw",
+        carry.alias("__fill"),
+        F.coalesce(nxt - step, F.col("__w")).alias("__end"),  # inclusive
     )
-    spans = chunk_last.groupBy("__k", "__sess").agg(
-        F.first("__w0").alias("__w0"),
-        F.max("__wmax").alias("__w1"),
-        F.max("__c").alias("__cmax"),
+    sub = claims.select(
+        "__k", "__w", "__nraw", "__fill", "__end",
+        F.explode(F.sequence("__w", "__end", F.lit(span_s))).alias("__sub"),
     )
-    # full chunk list (including empty chunks between observations), each
-    # with its carry-in = running last observed value over PRIOR chunks
-    chunks = spans.select(
-        "__k", "__sess", "__w0", "__w1",
-        F.explode(F.sequence(F.lit(0), "__cmax")).alias("__c"),
-    ).join(chunk_last.select("__k", "__sess", "__c", "__cl"), ["__k", "__sess", "__c"], "left")
-    wc = (
-        W.partitionBy("__k", "__sess")
-        .orderBy("__c")
-        .rowsBetween(W.unboundedPreceding, -1)
+    slot_end = F.least(F.col("__end"), F.col("__sub") + F.lit(span_s - step))
+    slots = sub.select(
+        "__k", "__w", "__nraw", "__fill",
+        F.explode(F.sequence(F.col("__sub"), slot_end, F.lit(step))).alias("__slot"),
     )
-    chunks = chunks.withColumn("__carry", F.last("__cl", ignorenulls=True).over(wc))
-    # bounded per-chunk dense grid
-    gstart = F.col("__w0") + F.col("__c") * span_s
-    gend = F.least(F.col("__w1"), gstart + F.lit(span_s - step))
-    grid = chunks.select(
-        "__k", "__sess", "__c", "__carry",
-        F.explode(F.sequence(gstart, gend, F.lit(step))).alias("__w"),
-    )
-    joined = grid.join(per_win, ["__k", "__sess", "__w"], "left")
-    w = (
-        W.partitionBy("__k", "__sess", "__c")
-        .orderBy("__w")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    filled = F.coalesce(
-        F.last("__last", ignorenulls=True).over(w), F.col("__carry")
-    )
-    return joined.select(
+    return slots.select(
         F.col("__k").alias(key),
-        F.timestamp_seconds(F.col("__w")).alias("start"),
-        filled.alias(value),
-        is_real,
+        F.timestamp_seconds(F.col("__slot")).alias("start"),
+        F.col("__fill").alias(value),
+        ((F.col("__slot") == F.col("__w")) & F.coalesce(F.col("__nraw") > 0, F.lit(False))).alias(
+            "is_real"
+        ),
     )
 
 
@@ -395,7 +381,7 @@ def downsample(
     points: DataFrame,
     key: str = "url",
     start_col: str = "start",
-    value: str = "value",
+    value="value",
     agg: str = "sum",  # sum | avg | last
     from_seconds: int = 60,
     to_seconds: int | str = 3600,
@@ -404,33 +390,36 @@ def downsample(
     (reference lib2/calculate_formulas.py:179-182). avg is carried as
     sum+count so coarse windows weight fine windows correctly.
 
+    value: a column name, or a sequence of names aggregated in the SAME
+    pass (r6 optimization: one scan + one shuffle for several measures of
+    the same series, instead of one downsample-plus-join per measure —
+    guide §2.3 'aggregate before you shuffle').
+
     to_seconds: target width in seconds, or 'P1W'/'P1M' for calendar windows
     (date_trunc labels — the reference's '1MS' resample analog,
     lib2/calculate_formulas.py:28-31)."""
     calendar = isinstance(to_seconds, str)
     if not calendar:
         assert to_seconds % from_seconds == 0
+    values = [value] if isinstance(value, str) else list(value)
     win = _window_col(F.col(start_col), to_seconds, is_ts=True).alias("__w")
-    g = points.select(F.col(key).alias("__k"), win, value).groupBy("__k", "__w")
     if agg == "sum":
-        out = g.agg(F.sum(value).alias(value))
+        aggs = [F.sum(v).alias(v) for v in values]
     elif agg == "avg":
-        out = g.agg((F.sum(value) / F.count(value)).alias(value))
+        aggs = [(F.sum(v) / F.count(v)).alias(v) for v in values]
     elif agg == "last":
-        out = points.select(
-            F.col(key).alias("__k"),
-            win,
-            F.unix_timestamp(F.col(start_col)).alias("__s"),
-            F.col(value),
-        ).groupBy("__k", "__w").agg(
-            F.expr(f"max_by({value}, __s) FILTER (WHERE {value} IS NOT NULL)").alias(value)
-        )
+        aggs = [
+            F.expr(f"max_by({v}, __s) FILTER (WHERE {v} IS NOT NULL)").alias(v)
+            for v in values
+        ]
     else:
         raise ValueError(agg)
+    sel = [F.col(key).alias("__k"), win, *values]
+    if agg == "last":
+        sel.append(F.unix_timestamp(F.col(start_col)).alias("__s"))
+    out = points.select(*sel).groupBy("__k", "__w").agg(*aggs)
     start = F.col("__w") if calendar else F.timestamp_seconds(F.col("__w"))
-    return out.select(
-        F.col("__k").alias(key), start.alias(start_col), value
-    )
+    return out.select(F.col("__k").alias(key), start.alias(start_col), *values)
 
 
 def upsample(

@@ -49,13 +49,28 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every corpus vector for each query id.
     Output: (query_id, neighbor_id, rank, sim)."""
+    # r6: norms are per-ROW quantities — computing them inside the per-pair
+    # cosine re-evaluated norm(qv) once per corpus row and norm(cv) once
+    # per query (3 array folds per pair). Hoisting them to the join inputs
+    # leaves one fold (the dot) per pair; the arithmetic
+    # dot/(norm_q * norm_c) is unchanged operation-for-operation, so the
+    # similarity values are bit-identical.
     q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -241,13 +256,17 @@ def ivf_topk(
     )
     cdf = _centroid_df(emb.sparkSession, centroids)
     corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("__cn"),  # r6: norm once per row
     ).join(
         assignments.select(F.col(id_col).alias("neighbor_id"), "__list"),
         "neighbor_id",
     )
     q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     probes = (
         q.crossJoin(F.broadcast(cdf))
@@ -259,12 +278,14 @@ def ivf_topk(
             ),
         )
         .where(F.col("__rk") <= nprobe)
-        .select("query_id", "qv", "__list")
+        .select("query_id", "qv", "__qn", "__list")
     )
     cands = corpus.join(F.broadcast(probes), "__list").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cands.withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    scored = cands.withColumn(
+        "sim", _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
+    )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

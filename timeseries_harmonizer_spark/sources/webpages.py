@@ -155,6 +155,14 @@ def web_pages(
     )
 
     df = df.withColumn("value", F.length("text").cast("double"))
+    # Deterministic url_idx-hash spread over 2x task slots: the generator's
+    # natural output partitioning (an AQE-coalesced window exchange) lands
+    # in a handful of large files, which caps the SCAN parallelism of every
+    # downstream pass over the materialized table (8 tasks on 32 cores at
+    # bench sizing). Rows are unchanged — only their file placement.
+    df = df.repartition(
+        spark.sparkContext.defaultParallelism * 2, F.col("url_idx")
+    )
     return df.select(
         "url", "warc_ts", "html", "text", "lang", "ingest_pos", "value", "url_idx"
     )
