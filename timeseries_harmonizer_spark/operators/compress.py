@@ -82,7 +82,15 @@ def compress_points(
         (F.floor(F.unix_timestamp(F.col(start_col)) / chunk_seconds) * chunk_seconds)
         .alias("chunk_s"),
     )
-    src = src.repartition(partitions or 64, "url").sortWithinPartitions(
+    if partitions is None:
+        # r6: scale-adaptive default — ride the session's shuffle-partition
+        # setting (itself sized to the core count / cluster profile) instead
+        # of a hard-coded 64; fewer, fuller output files and one task wave
+        # on the local bench, config-driven width on a cluster.
+        partitions = int(
+            points.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    src = src.repartition(partitions, "url").sortWithinPartitions(
         "url", "chunk_s", "start"
     )
 

@@ -39,16 +39,19 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 
 
 def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Word n-gram shingles, hashed to 64-bit: (id, shingle_hash) distinct."""
+    """Word n-gram shingles, hashed to 64-bit: (id, shingle_hash) distinct.
+
+    r6: per-(id, shingle) uniqueness is a ROW-LOCAL property (all of a
+    doc's shingles live in one array before the explode), so it is enforced
+    with ``array_distinct`` map-side instead of a ``.distinct()`` — which
+    planned a full (id, shingle) shuffle + two hash aggregates in every
+    consumer of this frame (q32's plan evaluates it six times)."""
     toks = F.split(normalized(F.col(text)), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def shared_token_pairs(
@@ -112,9 +115,11 @@ def boilerplate_segment_filter(
     exploded = df.select(
         F.col(id_col), F.posexplode(segs).alias("pos", "seg")
     )
+    # r6: per-doc seg uniqueness is row-local (a doc's segments are one
+    # array) — array_distinct map-side replaces the (id, seg) distinct
+    # shuffle; the groupBy(seg) partial agg then combines map-side too.
     seg_df = (
-        exploded.select(id_col, "seg")
-        .distinct()
+        df.select(F.col(id_col), F.explode(F.array_distinct(segs)).alias("seg"))
         .groupBy("seg")
         .agg(F.count("*").alias("__df"))
     )

@@ -454,7 +454,16 @@ def upsample(
         F.col(value).alias("__v"),
     )
     nxt = F.lead("__s").over(W.partitionBy("__k").orderBy("__s"))
-    end = F.coalesce(nxt, F.col("__s") + from_seconds)  # exclusive claim end
+    # exclusive claim end, clamped to at least one fine slot: a duplicate
+    # (key, start) in the input makes lead(__s) == __s, which would send
+    # F.sequence a negative span (runtime error) and n_slots to 0 (division
+    # by zero) — each duplicate now claims exactly its own slot instead
+    # (ADVICE r5); duplicate-free inputs are unaffected (end >= __s +
+    # to_seconds already holds for them).
+    end = F.greatest(
+        F.coalesce(nxt, F.col("__s") + from_seconds),
+        F.col("__s") + to_seconds,
+    )
     # last claimed slot: highest to_seconds-multiple offset strictly < end
     last = F.col("__s") + F.floor((end - 1 - F.col("__s")) / to_seconds) * to_seconds
     spans = src.select(

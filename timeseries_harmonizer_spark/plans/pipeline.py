@@ -184,6 +184,15 @@ def run_tier(
             "rollup_native_last, or the formula engine."
         )
     prepared = prepare(pages, registry, tier)
+    # r6: persist only the columns the rollup/payload consumers read.
+    # prepare's output still carries the full registry enrichment
+    # (series_hash 64-char strings, conversion factors, max_power) — caching
+    # those builds and stores ~2x the bytes for columns no consumer of
+    # `prepared` touches (shape_points re-joins the broadcast registry for
+    # the point record). Guide §2.3: narrower rows, cheaper materialization.
+    prepared = prepared.select(
+        "url", "warc_ts", "value", "lang", "agg_func", "session_id"
+    )
     if persist:
         prepared = prepared.persist()
     pts = shape_points(rollup_points(prepared, tier, exact=exact), registry, tier)
