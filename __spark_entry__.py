@@ -322,6 +322,12 @@ HOURLY_AVG_SQL = """
     """,
 )
 def q10(spark, sf_dir):
+    # r6: measured and deliberately KEPT in the grid+join shape. A
+    # claim-span rewrite (explode per observed hour) made the full
+    # computation faster (noop 1.02 -> 0.66 s sf0.1) but the per-row tiny
+    # sequence/Generate overhead made the plan slower than the span-level
+    # explode (few huge sequences) + broadcast-joined grid this shape
+    # plans; this version's only window is the single LOCF pass.
     hourly = (
         _hourly(spark, sf_dir)
         .groupBy("user_id", "hour")
@@ -376,10 +382,42 @@ def q10(spark, sf_dir):
     """,
 )
 def q11(spark, sf_dir):
+    # r6: the prev/next non-null context (pv/pt, nv/nt) is computed ONCE
+    # per OBSERVED hour with framed windows over the small hourly frame
+    # (asc + desc running frames — NOT an (1, unboundedFollowing) frame,
+    # whose Spark implementation recomputes per row, O(n^2)), packed into
+    # one struct, and carried to the gap slots of the dense grid by a
+    # single LOCF pass (struct is non-null for every observed row, so null
+    # FIELDS — "no prev/next value exists" — survive the carry verbatim).
+    # The old shape derived the same context per dense-GRID row: two
+    # direction-flipped count windows plus four whole-partition windows on
+    # derived keys (user_id, g_fwd)/(user_id, g_bwd), each its own exchange
+    # over the full grid. Plan: 7 -> 4 exchanges, 6 -> 3 window ops, with
+    # the heavy ones now over observed rows only. The interp arithmetic is
+    # op-for-op identical (unix seconds as BIGINT, same +-*/ order).
     hourly = (
         _hourly(spark, sf_dir)
         .groupBy("user_id", "hour")
         .agg(F.avg("value").alias("v"))
+    )
+    w = W.partitionBy("user_id").orderBy("hour")
+    wprev = w.rowsBetween(W.unboundedPreceding, 0)
+    wdesc = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    obs_s = F.when(
+        F.col("v").isNotNull(), F.unix_timestamp("hour")
+    )
+    ctx = hourly.select(
+        "user_id", "hour", "v",
+        F.struct(
+            F.last("v", ignorenulls=True).over(wprev).alias("pv"),
+            F.last(obs_s, ignorenulls=True).over(wprev).alias("pt"),
+            F.last("v", ignorenulls=True).over(wdesc).alias("nv"),
+            F.last(obs_s, ignorenulls=True).over(wdesc).alias("nt"),
+        ).alias("c"),
     )
     spans = hourly.groupBy("user_id").agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
@@ -388,44 +426,23 @@ def q11(spark, sf_dir):
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
     )
-    joined = grid.join(hourly, ["user_id", "hour"], "left")
-    fwd = W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
-    bwd = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("hour").desc())
-        .rowsBetween(W.unboundedPreceding, 0)
+    joined = grid.join(ctx, ["user_id", "hour"], "left")
+    cc = F.last("c", ignorenulls=True).over(
+        W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
     )
-    prep = joined.withColumn("g_fwd", F.count("v").over(fwd)).withColumn(
-        "g_bwd", F.count("v").over(bwd)
-    )
-    ctx = (
-        prep.withColumn("pv", F.max("v").over(W.partitionBy("user_id", "g_fwd")))
-        .withColumn(
-            "pt",
-            F.max(F.when(F.col("v").isNotNull(), F.col("hour"))).over(
-                W.partitionBy("user_id", "g_fwd")
-            ),
-        )
-        .withColumn("nv", F.max("v").over(W.partitionBy("user_id", "g_bwd")))
-        .withColumn(
-            "nt",
-            F.min(F.when(F.col("v").isNotNull(), F.col("hour"))).over(
-                W.partitionBy("user_id", "g_bwd")
-            ),
-        )
-    )
+    carried = joined.withColumn("cc", cc)
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            F.col("pv")
-            + (F.col("nv") - F.col("pv"))
-            * (F.unix_timestamp("hour") - F.unix_timestamp("pt"))
-            / (F.unix_timestamp("nt") - F.unix_timestamp("pt")),
+            F.col("cc.pv").isNotNull() & F.col("cc.nv").isNotNull(),
+            F.col("cc.pv")
+            + (F.col("cc.nv") - F.col("cc.pv"))
+            * (F.unix_timestamp("hour") - F.col("cc.pt"))
+            / (F.col("cc.nt") - F.col("cc.pt")),
         )
         .otherwise(F.lit(None))
     )
-    return ctx.select(
+    return carried.select(
         "user_id", "hour", (F.floor(interp * 10000) / 10000).alias("interp")
     )
 
