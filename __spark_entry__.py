@@ -873,6 +873,12 @@ def q25(spark, sf_dir):
     from timeseries_harmonizer_spark.plans.formula import FormulaEngine, SeriesRef
 
     ev = _hourly(spark, sf_dir)
+    # r6: a shared (event_type, hour) aggregate for both leaves was tried
+    # and REJECTED — column pruning specializes each branch's aggregate
+    # (sum-only vs count-only), so the exchange subtrees are not
+    # canonically identical, ReuseExchange never fires, and both branches
+    # end up scanning all event types. The filtered per-leaf aggregates
+    # (with their pushed event_type filters) measure faster.
     s1 = (
         ev.where("event_type = 'purchase'")
         .groupBy(F.col("hour").alias("start"))

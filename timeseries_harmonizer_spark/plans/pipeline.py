@@ -62,7 +62,14 @@ def prepare(
         df = df.withColumn("text", extract_text(F.col("html")))
     df = df.withColumn("value", F.length("text").cast("double"))
     df = df.select("url", "warc_ts", "ingest_pos", "value", "lang")
-    df = df.repartition(N_BUCKETS, "url")  # the one exchange
+    # the one exchange. r6: its WIDTH follows the session's shuffle-partition
+    # setting (scale-adaptive: SPARK_GRAFT_SHUFFLE/cluster profile) instead
+    # of the storage constant N_BUCKETS — on the 32-core bench host 64-wide
+    # stages ran every window in two half-empty task waves (~10% of the
+    # pass). The storage bucket ID (pmod(xxhash64(url), N_BUCKETS) in
+    # shape_points) is a data VALUE and keeps N_BUCKETS regardless.
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(width, "url")
     df = keep_last_sorted(df, key="url", ts_col="warc_ts", order_col="ingest_pos")
     df = df.join(F.broadcast(registry), "url", "inner")  # J1
     df = unit_convert(df)
