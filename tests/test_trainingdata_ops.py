@@ -510,3 +510,21 @@ def test_connected_components_star_path_graph_log_rounds(spark):
     auto = D.connected_components(small_path, algorithm="auto")
     a = auto.agg(F.countDistinct("component"), F.max("component")).first()
     assert tuple(a) == (1, 0)
+
+
+def test_connected_components_label_unconverged_raises(spark):
+    """ADVICE r5: opt-in 'label' mode must fail loudly when max_iter rounds
+    leave labels mid-propagation (silently-partial components), while the
+    same graph under 'auto' falls through to the star path and succeeds;
+    the star stats record convergence explicitly."""
+    import pytest
+
+    path = spark.range(200).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(path, algorithm="label", max_iter=3)
+    stats = {}
+    out = D.connected_components_star(path, stats=stats)
+    assert stats["converged"] is True
+    assert out.agg(F.countDistinct("component")).first()[0] == 1

@@ -406,10 +406,26 @@ def connected_components_star(
         # stable edge set (both are distinct sets: same size + no additions)
         if new_e.count() == e.count() and new_e.subtract(e).isEmpty():
             e = new_e
+            star_converged = True
             break
         e = new_e
+    else:
+        # loop exhausted max_iter without a stable edge set (ADVICE r5:
+        # rounds == max_iter was ambiguous between converged-on-last and
+        # not-converged) — labels from a non-star edge set may split
+        # components, so record it explicitly and warn.
+        star_converged = False
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not stabilize in {max_iter} "
+            "rounds; components may be split. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = star_converged
     nodes = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
@@ -490,4 +506,15 @@ def connected_components(
         # high-diameter graph: min-label would need diameter rounds —
         # restart with the star algorithm (O(log) rounds regardless)
         return connected_components_star(pairs, id_a, id_b)
+    if not converged:
+        # opt-in 'label' mode exhausted max_iter without a fixed point:
+        # the labels are possibly-partial components (a high-diameter
+        # graph mid-propagation). Returning them silently was the ADVICE
+        # r5 footgun — fail loudly instead; callers who want best-effort
+        # labels can raise max_iter or use algorithm='auto'/'star'.
+        raise RuntimeError(
+            f"connected_components(algorithm='label') did not converge in "
+            f"{max_iter} rounds; labels would be partial. Use "
+            f"algorithm='auto'/'star' or raise max_iter."
+        )
     return labels.select("id", F.col("lbl").alias("component"))
