@@ -124,3 +124,42 @@ def test_twa_matches_numpy_trapezoid(spark):
         .toPandas()
     )
     np.testing.assert_allclose(r["value"].to_numpy(), [1800.0, 5400.0])
+
+
+def test_sum_avg_combined_equals_separate(spark, pages, reg):
+    """r6: the single-pass SUM+AVG rollup must equal the separate
+    operators bit-for-bit on the same prepared frame (per-branch rows and
+    float operation order are identical by construction)."""
+    from timeseries_harmonizer_spark.operators.rollup import (
+        rollup_native_avg,
+        rollup_native_sum,
+        rollup_native_sum_avg,
+    )
+
+    tier = TIERS["1h"]
+    prepared = pipeline.prepare(pages, reg, tier)
+    combined = (
+        rollup_native_sum_avg(
+            prepared.where(F.col("agg_func").isin("SUM", "AVG")),
+            freq_seconds=tier.seconds, session_col="session_id",
+        )
+        .toPandas().sort_values(["url", "start"]).reset_index(drop=True)
+    )
+    sums = rollup_native_sum(
+        prepared.where(F.col("agg_func") == "SUM"),
+        freq_seconds=tier.seconds, session_col="session_id",
+    )
+    avgs = rollup_native_avg(
+        prepared.where(F.col("agg_func") == "AVG"),
+        freq_seconds=tier.seconds, session_col="session_id",
+    )
+    separate = (
+        sums.unionByName(avgs)
+        .toPandas().sort_values(["url", "start"]).reset_index(drop=True)
+    )
+    assert len(combined) == len(separate)
+    assert (combined["url"].to_numpy() == separate["url"].to_numpy()).all()
+    assert (combined["start"].to_numpy() == separate["start"].to_numpy()).all()
+    np.testing.assert_array_equal(
+        combined["value"].to_numpy(), separate["value"].to_numpy()
+    )

@@ -216,6 +216,106 @@ def rollup_native_avg(
     )
 
 
+def rollup_native_sum_avg(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    value: str = "value",
+    agg_col: str = "agg_func",
+    freq_seconds: int = 3600,
+    session_col: str | None = "session_id",
+    drop_neg: bool = True,
+) -> DataFrame:
+    """r6 optimization: the SUM and AVG closed-form rollups in ONE pass
+    over a frame whose aggregation function is declared per series
+    (``agg_col``, constant per key — the registry contract). The pipeline
+    previously filtered the cached ``prepared`` twice and re-sorted each
+    disjoint subset; this computes both with one knots window and one
+    merge aggregate, branching the segment arithmetic per row. The math is
+    rollup_native_sum / rollup_native_avg verbatim (see those docstrings):
+    per-branch rows, expressions and float operation order are identical,
+    so results match the separate operators bit-for-bit."""
+    Fs = freq_seconds
+    sess = F.col(session_col) if session_col else F.lit(0)
+    df = df.where(F.col(value).isNotNull())
+    if drop_neg:
+        # R1 step 1, SUM rows only. Series are homogeneous in agg_col, so
+        # the lag over (key, session) sees exactly the rows the SUM-only
+        # operator's drop_negative_diffs saw.
+        keys = [key] + ([session_col] if session_col else [])
+        wd = W.partitionBy(*keys).orderBy(ts_col)
+        diff = F.col(value) - F.lag(value).over(wd)
+        df = (
+            df.withColumn(
+                "__negdrop",
+                (F.col(agg_col) == "SUM") & F.coalesce(diff < 0, F.lit(False)),
+            )
+            .where(~F.col("__negdrop"))
+            .drop("__negdrop")
+        )
+    pts = (
+        df.select(
+            F.col(key).alias("__k"),
+            sess.alias("__sess"),
+            F.col(agg_col).alias("__agg"),
+            F.unix_timestamp(F.col(ts_col)).alias("__s"),
+            F.col(value).alias("__v"),
+        )
+        .groupBy("__k", "__sess", "__agg", "__s")
+        .agg(F.avg("__v").alias("__v"))
+    )
+    wl = W.partitionBy("__k", "__sess").orderBy("__s")
+    knots = pts.select(
+        "__k", "__agg", "__s", "__v",
+        F.lead("__s").over(wl).alias("__s2"),
+        F.lead("__v").over(wl).alias("__v2"),
+    ).where(F.col("__s2").isNotNull() | (F.col("__agg") != "SUM"))
+    is_sum = F.col("__agg") == "SUM"
+    slope = F.when(
+        F.col("__s2").isNotNull(),
+        (F.col("__v2") - F.col("__v")) / (F.col("__s2") - F.col("__s")),
+    ).otherwise(F.lit(0.0))
+    # SUM covers seconds (s1, s2]; AVG covers [s1, s2-1] (+ terminal [s1, s1])
+    a = F.when(is_sum, F.col("__s") + 1).otherwise(F.col("__s"))
+    b = F.when(
+        F.col("__s2").isNotNull(),
+        F.when(is_sum, F.col("__s2")).otherwise(F.col("__s2") - 1),
+    ).otherwise(F.col("__s"))
+    win0 = F.floor(a / Fs) * Fs
+    win1 = F.floor(b / Fs) * Fs
+    seg = knots.select(
+        "__k", "__agg",
+        F.col("__s").alias("__s1"),
+        F.col("__v").alias("__v1"),
+        slope.alias("__slope"),
+        a.alias("__a"),
+        b.alias("__b"),
+        F.explode(F.sequence(win0, win1, F.lit(Fs))).alias("__w"),
+    ).where((F.col("__agg") != "SUM") | (F.col("__slope") >= 0))
+    lo = F.greatest(F.col("__a"), F.col("__w"))
+    hi = F.least(F.col("__b"), F.col("__w") + Fs - 1)
+    n = hi - lo + 1
+    mid = (lo + hi).cast("double") / 2.0
+    contrib = F.when(is_sum, n * F.col("__slope")).otherwise(
+        n.cast("double")
+        * (F.col("__v1") + F.col("__slope") * (mid - F.col("__s1")))
+    )
+    return (
+        seg.withColumn("__n", n)
+        .withColumn("__c", contrib)
+        .groupBy("__k", "__agg", "__w")
+        .agg(F.sum("__n").alias("__cnt"), F.sum("__c").alias("__sum"))
+        .where(F.col("__cnt") == Fs)
+        .select(
+            F.col("__k").alias(key),
+            F.timestamp_seconds(F.col("__w")).alias("start"),
+            F.when(is_sum, F.col("__sum"))
+            .otherwise(F.col("__sum") / F.col("__cnt"))
+            .alias(value),
+        )
+    )
+
+
 def rollup_native_twa(
     df: DataFrame,
     key: str = "url",

@@ -26,9 +26,8 @@ from timeseries_harmonizer_spark.operators.dedup import keep_last, keep_last_sor
 from timeseries_harmonizer_spark.operators.rollup import (
     continuous_aggregate,
     rollup_exact_chunked,
-    rollup_native_avg,
     rollup_native_last,
-    rollup_native_sum,
+    rollup_native_sum_avg,
 )
 from timeseries_harmonizer_spark.operators.sessionize import sessionize
 
@@ -117,13 +116,13 @@ def rollup_points(
             session_col="session_id",
         )
         return sums.unionByName(avgs).unionByName(lasts)
-    sums = rollup_native_sum(
-        prepared.where(F.col("agg_func") == "SUM"),
-        freq_seconds=tier.seconds,
-        session_col="session_id",
-    ).withColumn("is_real", F.lit(True))
-    avgs = rollup_native_avg(
-        prepared.where(F.col("agg_func") == "AVG"),
+    # r6: SUM and AVG share one knots pass + merge aggregate instead of
+    # filtering (and re-sorting) the cached frame once per branch — the
+    # per-branch math in rollup_native_sum_avg is the separate operators'
+    # verbatim (equality pinned by test_sum_avg_combined_equals_separate
+    # and the oracle parity suite).
+    sum_avgs = rollup_native_sum_avg(
+        prepared.where(F.col("agg_func").isin("SUM", "AVG")),
         freq_seconds=tier.seconds,
         session_col="session_id",
     ).withColumn("is_real", F.lit(True))
@@ -132,7 +131,7 @@ def rollup_points(
         freq_seconds=tier.seconds,
         session_col="session_id",
     )
-    return sums.unionByName(avgs).unionByName(lasts)
+    return sum_avgs.unionByName(lasts)
 
 
 def shape_points(
